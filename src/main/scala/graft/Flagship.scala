@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.gen.TranscriptGen
+import graft.model.Turn
+import graft.streaming.{Metrics, SessionJoin, Sink}
+
+/** The flagship end-to-end streaming pipeline (BASELINE.json north_star):
+  * transcripts stream → watermark → stateful session join of user turns to
+  * assistant/tool replies (flatMapGroupsWithState on conv_id) → idempotent
+  * exactly-once sink with per-partition lineage → per-stage metrics.
+  *
+  * `runMain graft.Flagship [nConvs] [cores]` generates a deterministic
+  * transcript stream, runs the pipeline, and prints throughput (turns/sec),
+  * p99 batch latency, and state-store size — the metrics BASELINE.md asks
+  * for. Used standalone and by graft.Bench.
+  */
+object Flagship {
+
+  case class Result(
+      turns: Long,
+      pairs: Long,
+      elapsedSec: Double,
+      turnsPerSec: Double,
+      p99LatencyMs: Long,
+      maxStateRows: Long,
+      maxStateBytes: Long)
+
+  /** Run the streaming flagship over a bounded deterministic stream.
+    * The generated transcripts are written to parquet first, then streamed
+    * file-by-file (maxFilesPerTrigger) so the run has real micro-batches,
+    * watermark movement, and state eviction — not one giant batch.
+    */
+  def run(spark: SparkSession, nConvs: Long, filesPerTrigger: Int = 4,
+      nFiles: Int = 16, hotConvs: Int = 0): Result = {
+    import spark.implicits._
+    val work = Files.createTempDirectory("flagship").toString
+    val inDir = s"$work/in"
+    // Stage the stream: sort by ts so file order ≈ arrival order (the
+    // generator's late stragglers stay late within a file).
+    TranscriptGen.transcripts(spark, nConvs, 42L, hotConvs)
+      .orderBy(col("ts"))
+      .coalesce(nFiles)
+      .write.parquet(inDir)
+
+    val metrics = Metrics.install(spark)
+    val turns = spark.readStream
+      .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inDir)
+      .as[Turn]
+
+    val paired = SessionJoin.pairStreaming(turns, SessionJoin.DefaultGapSeconds, "10 minutes")
+
+    val t0 = System.nanoTime()
+    val q = Sink.exactlyOnce(paired, s"$work/out", s"$work/ck", Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    val nTurns = metrics.totalInputRows
+    val nPairs = Sink.readCommitted(spark, s"$work/out").count()
+    val snaps = metrics.snapshots
+    spark.streams.removeListener(metrics)
+    Result(nTurns, nPairs, elapsed, nTurns / elapsed, metrics.p99LatencyMs,
+      if (snaps.isEmpty) 0 else snaps.map(_.stateRows).max,
+      if (snaps.isEmpty) 0 else snaps.map(_.stateBytes).max)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.length > 0) args(0).toLong else 2000L
+    val cores = if (args.length > 1) args(1) else "8"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-flagship")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, nConvs)
+    println(f"""{"turns":${r.turns},"pairs":${r.pairs},"elapsed_sec":${r.elapsedSec}%.2f,""" +
+      f""""turns_per_sec":${r.turnsPerSec}%.0f,"p99_latency_ms":${r.p99LatencyMs},""" +
+      f""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,198 @@
+package graft.blob
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.types.DataType
+
+/** The engine's scalar expression surface: the reference's mapping language
+  * (Bloblang) re-expressed as Catalyst `Column` combinators.
+  *
+  * The reference evaluates an interpreted query AST per message
+  * (reference: internal/bloblang/mapping/executor.go:126-228,
+  * internal/bloblang/query/functions.go, methods*.go). Here every operation
+  * is a thin, codegen-friendly wrapper over
+  * `org.apache.spark.sql.functions`; a Scala UDF appears only where Spark
+  * has no built-in (flagged `// UDF`). Mapping table: SURVEY.md §2.6.
+  *
+  * Naming: Bloblang `foo_bar` → `Blob.fooBar`. All combinators are pure
+  * Column → Column, so whole-stage codegen fuses chains of them into one
+  * generated function — the Spark analogue of Bloblang's single-pass
+  * statement executor, but compiled instead of interpreted.
+  */
+object Blob {
+
+  // ---------------------------------------------------------------- batch/
+  // Benthos batch position functions (functions.go:186,201). Batches have
+  // no Spark analogue; position is defined per conversation ordered by
+  // turn_idx (SURVEY.md §7.4 risk 1).
+  def turnWindow(key: Column, ord: Column): WindowSpec =
+    Window.partitionBy(key).orderBy(ord)
+  def batchIndex(w: WindowSpec): Column = row_number().over(w) - lit(1)
+  def batchSize(key: Column): Column = count(lit(1)).over(Window.partitionBy(key))
+
+  // ------------------------------------------------------------ core fns /
+  /** content() (functions.go:216) — the payload column. */
+  def content(payload: Column): Column = payload
+  /** error()/errored() (functions.go:330,347). */
+  def error(err: Column): Column = err
+  def errored(err: Column): Column = err.isNotNull
+  /** json(path) (functions.go:464): dotted path into a JSON payload. */
+  def json(payload: Column, path: String): Column =
+    get_json_object(payload, "$." + path)
+  /** meta(k) (functions.go:516) over a MAP<STRING,STRING> column. */
+  def meta(m: Column, k: String): Column = m.getItem(k)
+  /** range(start, stop, step) (functions.go:390). */
+  def range(start: Column, stop: Column, step: Column): Column =
+    // Bloblang range is exclusive of stop; Spark sequence is inclusive.
+    sequence(start, stop - when(step > 0, lit(1)).otherwise(lit(-1)), step)
+  def nowTs(): Column = current_timestamp()
+  def timestampUnix(ts: Column): Column = unix_timestamp(ts)
+  def randomInt(seed: Long, maxExclusive: Long): Column =
+    floor(rand(seed) * lit(maxExclusive)).cast("long")
+  def uuidV4(): Column = expr("uuid()")
+  def throwErr(msg: Column): Column = raise_error(msg)
+
+  // --------------------------------------------------------- general meth /
+  /** `.catch(fallback)` (methods.go:119): null/error → fallback. */
+  def catchOr(c: Column, fallback: Column): Column = coalesce(c, fallback)
+  /** `.or(fallback)` (methods.go:452). */
+  def or(c: Column, fallback: Column): Column = coalesce(c, fallback)
+  /** `.number()` (methods.go:412) — try-cast, null on failure. */
+  def number(c: Column): Column = c.try_cast("double")
+  /** `.type()` (methods.go:476). */
+  def typeOf(c: Column): Column = typeof(c)
+
+  // -------------------------------------------------------------- numbers /
+  // methods_numbers.go:10-224 → same-named builtins.
+  def abs_(c: Column): Column = abs(c)
+  def ceil_(c: Column): Column = ceil(c)
+  def floor_(c: Column): Column = floor(c)
+  def log_(c: Column): Column = log(c)
+  def log10_(c: Column): Column = log10(c)
+  def max_(a: Column, b: Column): Column = greatest(a, b)
+  def min_(a: Column, b: Column): Column = least(a, b)
+  def round_(c: Column): Column = round(c)
+
+  // -------------------------------------------------------------- strings /
+  def bytes(c: Column): Column = c.cast("binary") // methods_strings.go:42
+  /** capitalize (methods_strings.go:63): first rune upper, rest unchanged
+    * (not initcap, which lowercases the tail and splits words).
+    */
+  def capitalize(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+  def encodeBase64(c: Column): Column = base64(c.cast("binary"))
+  def decodeBase64(c: Column): Column = unbase64(c)
+  def encodeHex(c: Column): Column = lower(hex(c.cast("binary")))
+  def decodeHex(c: Column): Column = unhex(c)
+  def encryptAes(c: Column, key: Column, iv: Column): Column =
+    aes_encrypt(c.cast("binary"), key, lit("CBC"), lit("PKCS"), iv)
+  def decryptAes(c: Column, key: Column, iv: Column): Column =
+    aes_decrypt(c, key, lit("CBC"), lit("PKCS"))
+  def escapeUrlQuery(c: Column): Column = url_encode(c)
+  def unescapeUrlQuery(c: Column): Column = url_decode(c)
+  def filepathJoin(parts: Column*): Column = concat_ws("/", parts: _*)
+  def filepathSplit(c: Column): Column = split(c, "/")
+  def format(fmt: String, args: Column*): Column = format_string(fmt, args: _*)
+  def hasPrefix(c: Column, p: Column): Column = c.startsWith(p)
+  def hasSuffix(c: Column, p: Column): Column = c.endsWith(p)
+  /** hash(algorithm) (methods_strings.go:703). */
+  def hash(c: Column, algorithm: String): Column = algorithm match {
+    case "md5" => md5(c.cast("binary"))
+    case "sha1" => sha1(c.cast("binary"))
+    case "sha256" => sha2(c.cast("binary"), 256)
+    case "sha512" => sha2(c.cast("binary"), 512)
+    case "xxhash64" => xxhash64(c)
+    case "crc32" => crc32(c.cast("binary"))
+    case a => throw new IllegalArgumentException(s"unsupported hash: $a")
+  }
+  def indexOf(c: Column, sub: String): Column = instr(c, sub) - 1
+  def joinArr(c: Column, sep: String): Column = array_join(c, sep)
+  def uppercase(c: Column): Column = upper(c)
+  def lowercase(c: Column): Column = lower(c)
+  def parseJson(c: Column, schemaDdl: String): Column = from_json(c, DataType.fromDDL(schemaDdl))
+  def formatJson(c: Column): Column = to_json(c)
+  def parseCsvLine(c: Column, schemaDdl: String): Column = from_csv(c, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl), Map.empty[String, String])
+  def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
+  def formatTimestamp(c: Column, fmt: String): Column = date_format(c, fmt)
+  def formatTimestampUnix(c: Column): Column = unix_timestamp(c)
+  /** parse_duration (methods_strings.go:1183) → nanoseconds. Go-style
+    * "1h2m3s450ms" durations; no builtin exists. // UDF
+    */
+  val parseDuration: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val re = "([0-9]*\\.?[0-9]+)(ns|us|µs|ms|s|m|h)".r
+        val unit = Map("ns" -> 1L, "us" -> 1000L, "µs" -> 1000L,
+          "ms" -> 1000000L, "s" -> 1000000000L, "m" -> 60000000000L,
+          "h" -> 3600000000000L)
+        val parts = re.findAllMatchIn(s).toList
+        if (parts.isEmpty) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(
+          parts.map(m => (m.group(1).toDouble * unit(m.group(2))).toLong).sum)
+      }
+    }
+    c => f(c)
+  }
+  def quote(c: Column): Column = to_json(struct(c.as("v"))).substr(lit(6), length(to_json(struct(c.as("v")))) - 6)
+  def replaceAll(c: Column, from: String, to: String): Column =
+    replace(c, lit(from), lit(to))
+  def replaceAllMany(c: Column, pairs: Seq[(String, String)]): Column =
+    pairs.foldLeft(c) { case (acc, (f, t)) => replace(acc, lit(f), lit(t)) }
+  def reFindAll(c: Column, pattern: String): Column = regexp_extract_all(c, lit(pattern), lit(0))
+  def reMatch(c: Column, pattern: String): Column = c.rlike(pattern)
+  def reReplaceAll(c: Column, pattern: String, to: String): Column =
+    regexp_replace(c, pattern, to)
+  def reverse_(c: Column): Column = reverse(c)
+  def splitStr(c: Column, sep: String): Column =
+    split(c, java.util.regex.Pattern.quote(sep))
+  def string(c: Column): Column = c.cast("string")
+  /** strip_html (methods_strings.go:2091): tag removal. */
+  def stripHtml(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
+  def trim_(c: Column): Column = trim(c)
+  /** escape_html (methods_strings.go:441). */
+  def escapeHtml(c: Column): Column =
+    replaceAllMany(c, Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+      "\"" -> "&#34;", "'" -> "&#39;"))
+  def unescapeHtml(c: Column): Column =
+    replaceAllMany(c, Seq("&lt;" -> "<", "&gt;" -> ">", "&#34;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&"))
+
+  // ----------------------------------------------------------- structured /
+  // methods_structured.go → array/map higher-order builtins (all codegen'd
+  // or interpreted HOFs — no UDFs needed, SURVEY.md §2.6 end note).
+  def all(c: Column, p: Column => Column): Column = forall(c, p)
+  def any(c: Column, p: Column => Column): Column = exists(c, p)
+  def append(c: Column, items: Column*): Column = concat(c +: items.map(array(_)): _*)
+  def containsArr(c: Column, v: Column): Column = array_contains(c, v)
+  def containsStr(c: Column, v: Column): Column = c.contains(v)
+  def enumerated(c: Column): Column = // [(index, value)…]
+    zip_with(sequence(lit(0), size(c) - 1), c, (i, v) => struct(i.as("index"), v.as("value")))
+  def filterArr(c: Column, p: Column => Column): Column = filter(c, p)
+  def flatten_(c: Column): Column = flatten(c)
+  def fold(c: Column, zero: Column, f: (Column, Column) => Column): Column =
+    aggregate(c, zero, f)
+  def index(c: Column, i: Column): Column = element_at(c, i + 1) // 0-based like Bloblang
+  def keys(m: Column): Column = map_keys(m)
+  def values(m: Column): Column = map_values(m)
+  def keyValues(m: Column): Column = map_entries(m)
+  def length_(c: Column): Column = size(c)
+  def strLength(c: Column): Column = length(c)
+  def mapEach(c: Column, f: Column => Column): Column = transform(c, f)
+  def mapEachKey(m: Column, f: Column => Column): Column = transform_keys(m, (k, _) => f(k))
+  def mergeMaps(a: Column, b: Column): Column = map_concat(a, b)
+  def assign(struct0: Column, field: String, v: Column): Column = struct0.withField(field, v)
+  def without(struct0: Column, fields: String*): Column = struct0.dropFields(fields: _*)
+  def notEmpty(c: Column): Column = when(size(c) > 0, c)
+  def sortArr(c: Column): Column = array_sort(c)
+  def sortByDesc(c: Column): Column = reverse(array_sort(c))
+  def slice(c: Column, from: Int, until: Int): Column = org.apache.spark.sql.functions.slice(c, from + 1, until - from)
+  def sum_(c: Column): Column = aggregate(c, lit(0.0), (a, b) => a + b.cast("double"))
+  def unique(c: Column): Column = array_distinct(c)
+
+  // Bloblang `|` pipe operator (arithmetic.go:19-53): lhs null/error → rhs.
+  def pipe(l: Column, r: Column): Column = coalesce(l, r)
+
+  private def forceStr(c: Column): Column = c.cast("string")
+}

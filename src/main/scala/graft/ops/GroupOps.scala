@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Grouping and batch-shaping operators (SURVEY.md §2.7, §2.4).
+  *
+  * Benthos batch-position semantics are defined here per conversation
+  * ordered by turn_idx (SURVEY.md §7.4 risk 1) — the only ordering the
+  * data model guarantees. All ops shuffle at most once on the group key.
+  */
+object GroupOps {
+
+  /** group_by_value (internal/old/processor/group_by_value.go:74,104):
+    * split the stream by a computed key, then reduce each group.
+    */
+  def groupByValue(df: DataFrame, key: Column, aggs: Seq[Column]): DataFrame =
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+
+  /** group_by (internal/old/processor/group_by.go:90-92,148-199): route
+    * rows into the FIRST matching predicate group; unmatched rows are
+    * dropped (the reference drops them into no group).
+    */
+  def groupBy(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val grp = checks.foldRight(lit(null).cast("string")) { case ((name, check), acc) =>
+      when(check, lit(name)).otherwise(acc)
+    }
+    df.withColumn("group", grp).filter(col("group").isNotNull)
+  }
+
+  /** archive(json_array) (internal/old/processor/archive.go:59,117): pack a
+    * group into one row carrying an ordered array of the group's payloads.
+    */
+  def archive(df: DataFrame, key: Column, ord: Column, payload: Column): DataFrame =
+    df.groupBy(key)
+      .agg(sort_array(collect_list(struct(ord.as("ord"), payload.as("payload"))))
+        .as("archived"))
+      .withColumn("archived", col("archived.payload"))
+
+  /** unarchive(json_array) (unarchive.go:50,321-335): explode the array
+    * back to rows, restoring batch order as `turn_idx`.
+    */
+  def unarchive(df: DataFrame, arrayCol: Column): DataFrame =
+    df.select(df.columns.map(col).toSeq :+ posexplode(arrayCol): _*)
+      .withColumnRenamed("pos", "turn_idx")
+      .withColumnRenamed("col", "payload")
+      .drop(arrayCol.toString)
+
+  /** select_parts (select_parts.go:55): keep only listed positions within
+    * each group; negative indexes count from the end, like the reference
+    * (message.go:50-56).
+    */
+  def selectParts(df: DataFrame, key: Column, ord: Column, parts: Seq[Int]): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy(key))
+    val idx = row_number().over(Window.partitionBy(key).orderBy(ord)) - 1
+    val keep = parts.map(p => if (p >= 0) idx === p else idx === (n + p)).reduce(_ || _)
+    df.withColumn("__keep", keep).filter(col("__keep")).drop("__keep")
+  }
+
+  /** insert_part (insert_part.go:56): add a constructed row per group at a
+    * position (only appending at the end / start is meaningful row-wise;
+    * the synthetic row gets ord = max+1 or -1).
+    */
+  def insertPart(df: DataFrame, synthetic: DataFrame): DataFrame =
+    df.unionByName(synthetic, allowMissingColumns = true)
+
+  /** bounds_check (bounds_check.go:45): drop whole groups outside
+    * [minParts, maxParts] or rows outside [minChars, maxChars].
+    */
+  def boundsCheck(
+      df: DataFrame,
+      key: Column,
+      payload: Column,
+      minParts: Long,
+      maxParts: Long,
+      minChars: Long = 0,
+      maxChars: Long = Long.MaxValue): DataFrame = {
+    val n = count(lit(1)).over(Window.partitionBy(key))
+    df.withColumn("__n", n)
+      .filter(col("__n") >= minParts && col("__n") <= maxParts)
+      .filter(length(payload) >= minChars && length(payload) <= maxChars)
+      .drop("__n")
+  }
+
+  /** The windowed reduce pattern (config/test/bloblang/windowed.yaml:1-28):
+    * from_all()+sum / from_all()+max collapse a batch to one row.
+    */
+  def reduceBatch(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.groupBy(key).agg(
+      sum(value).as("sum"),
+      max(value).as("max"),
+      min(value).as("min"),
+      count(lit(1)).as("n"))
+}

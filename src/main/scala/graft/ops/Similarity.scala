@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>). Brute-force cosine is the exactness baseline; the scale
+  * path buckets vectors with random-hyperplane LSH (or IVF via coarse
+  * k-means-free hashing) so each query probes a handful of buckets instead
+  * of the full corpus.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length array columns — an ordered fold, so
+    * the result is bit-deterministic across engines/runs.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k against one query vector: full scan, one
+    * top-k (sort spilled by TakeOrderedAndProject — no full sort at scale).
+    */
+  def bruteForceTopK(df: DataFrame, emb: Column, query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.withColumn("sim", cosine(emb, q)).orderBy(col("sim").desc).limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` pseudo-random hyperplanes
+    * derived from xxhash64(dim_index, seed) — deterministic, no stored
+    * model. Vectors in the same bucket are "probably close" in angle.
+    */
+  def lshBucket(emb: Column, bits: Int, seed: Int = 42): Column = {
+    // hyperplane h: component j = hash(j, bit, seed) mapped to [-1, 1]
+    val dims = size(emb)
+    (0 until bits)
+      .map { b =>
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(0), dims - 1), (v, j) =>
+            v.cast("double") *
+              ((xxhash64(j, lit(b), lit(seed)) % 1000L).cast("double") / 500.0 - 1.0)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** ANN top-k: restrict the scan to the query's LSH bucket, then exact
+    * cosine inside it. At 100 TB the bucket column is a partition/cluster
+    * key, so the probe prunes file scans instead of filtering rows.
+    */
+  def annTopK(df: DataFrame, emb: Column, query: Seq[Float], k: Int, bits: Int = 8): DataFrame = {
+    val bucketed = df.withColumn("bucket", lshBucket(emb, bits))
+    val q = array(query.map(v => lit(v)): _*)
+    val qBucketRow = bucketed.sparkSession.range(1)
+      .select(lshBucket(q, bits).as("qb")).collect()(0).getLong(0)
+    bucketed.filter(col("bucket") === qBucketRow)
+      .withColumn("sim", cosine(emb, q))
+      .orderBy(col("sim").desc)
+      .limit(k)
+      .drop("bucket")
+  }
+
+  /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
+    * so the quadratic blowup is confined to buckets.
+    */
+  def cosineDupPairs(
+      df: DataFrame,
+      idCol: Column,
+      emb: Column,
+      threshold: Double,
+      bits: Int = 6): DataFrame = {
+    val b = df.select(idCol.as("id"), emb.as("emb"))
+      .withColumn("bucket", lshBucket(emb, bits))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .distinct()
+  }
+}

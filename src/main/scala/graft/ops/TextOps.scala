@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column math (codegen'd, map-side, no shuffle) — at 100 TB these run at
+  * scan speed.
+  */
+object TextOps {
+
+  private def words(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}']+"), w => length(w) > 0)
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: split on word boundaries AND punctuation runs,
+    * counting sub-word chunks of ≤4 chars (a cheap, deterministic proxy
+    * for byte-pair tokenizers: ~chars/4 for long words, 1 per short word
+    * or punctuation run).
+    */
+  def tokenCountBpe(text: Column): Column =
+    aggregate(
+      filter(split(text, "\\s+"), w => length(w) > 0),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long"))
+
+  /** Language ID by stopword-hit voting over a tiny per-language lexicon —
+    * the classic n-gram/stopword heuristic. Returns the language code with
+    * the most hits, 'und' if none. Deterministic tie-break by list order.
+    */
+  private val lexicon: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "con", "que", "por"),
+    "it" -> Seq("il", "la", "di", "e", "che", "per", "con", "una", "sono", "del"))
+
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val scored = lexicon.map { case (lang, stops) =>
+      val hits = size(array_intersect(ws, array(stops.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // max by hits; ties → earlier language in lexicon order wins
+    val best = scored.reduceLeft { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality score in [0,1]: blend of length sanity, alpha ratio,
+    * punctuation ratio, stopword presence, and mean word length — the
+    * standard cheap quality gates of web-scale corpus cleaning.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nWords = size(words(text)).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val stopHits = size(array_intersect(words(text),
+      array(lexicon.flatMap(_._2).distinct.map(lit): _*))).cast("double")
+    val lenScore = least(len / 200.0, lit(1.0))
+    val alphaScore = when(len > 0, alpha / len).otherwise(0.0)
+    val punctScore = lit(1.0) - least(when(len > 0, punct / len * 10).otherwise(1.0), lit(1.0))
+    val stopScore = least(when(nWords > 0, stopHits / nWords * 5).otherwise(0.0), lit(1.0))
+    val meanWord = when(nWords > 0, alpha / nWords).otherwise(0.0)
+    val wordScore = when(meanWord >= 3 && meanWord <= 10, 1.0).otherwise(0.5)
+    round((lenScore + alphaScore + punctScore + stopScore + wordScore) / 5.0, 4)
+  }
+
+  /** Rolling polynomial fingerprint (Rabin-Karp style) over the word
+    * sequence: order-sensitive, whitespace-normalized — unlike a raw md5 it
+    * is stable under whitespace/case noise.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+
+  /** Exact content key for hash-dedupe: md5 of NFC-ish normalized text. */
+  def contentKey(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-row processors (SURVEY.md §2.4): the reference's `bloblang` /
+  * `branch` / `workflow` processors as declarative column operations.
+  *
+  * A Benthos mapping is an ordered list of `root.x = <query>` statements
+  * executed per message (reference: internal/bloblang/mapping/
+  * executor.go:126-228). Here a "mapping" is a list of named Column
+  * expressions applied in order; Catalyst folds the whole list into one
+  * codegen stage, so N statements cost the same as one projection.
+  */
+object Transforms {
+
+  /** bloblang processor (internal/old/processor/bloblang.go:130-181):
+    * ordered assignments. Later assignments may reference earlier ones
+    * (they see the updated row, like Bloblang statement order).
+    */
+  def mapProc(df: DataFrame, assignments: (String, Column)*): DataFrame =
+    assignments.foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  /** `root = deleted()` filtering (functions.go:277): drop rows where the
+    * delete predicate holds.
+    */
+  def filterProc(df: DataFrame, deleteWhen: Column): DataFrame =
+    df.filter(!coalesce(deleteWhen, lit(false)))
+
+  /** branch processor (internal/old/processor/branch.go:191-194,327-480):
+    * request_map → child transform → result_map overlaid onto the original
+    * row. In columnar form the "child pipeline" is a Column built from the
+    * request columns; the overlay is a withColumn — the original row is
+    * never lost, matching the reference's enrichment contract.
+    */
+  def branch(df: DataFrame, resultField: String, child: DataFrame => Column): DataFrame =
+    df.withColumn(resultField, child(df))
+
+  /** branch with a lookup child: the reference's enrichment-join shape
+    * (SURVEY.md §2.5, cookbook joining_streams.yaml). `dim` is expected
+    * small → broadcast, no shuffle of the fact side.
+    */
+  def enrich(df: DataFrame, dim: DataFrame, key: Seq[String], how: String = "left"): DataFrame =
+    df.join(broadcast(dim), key, how)
+
+  /** workflow processor (internal/old/processor/workflow.go:48-116): a DAG
+    * of named branches executed in dependency order. The reference infers
+    * order from mapping read/write targets; Catalyst resolves column
+    * dependencies natively, so tiers are just sequential withColumns —
+    * cycles fail analysis exactly like the reference rejects them.
+    */
+  def workflow(df: DataFrame, tiers: Seq[Seq[(String, DataFrame => Column)]]): DataFrame =
+    tiers.foldLeft(df) { (d, tier) =>
+      d.withColumns(tier.map { case (n, f) => n -> f(d) }.toMap)
+    }
+}

@@ -1,0 +1,72 @@
+package graft.topo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.streaming.Sink
+
+/** Topology assembly (SURVEY.md §2.1 / §3): the reference's
+  * input → buffer → pipeline(processors) → output stream type
+  * (reference: internal/stream/type.go:90-135) as a builder producing one
+  * Dataset chain (batch) or StreamingQuery (streaming).
+  *
+  * The reference chains goroutines over Transaction channels; here every
+  * "layer" is a DataFrame → DataFrame function and Catalyst fuses the whole
+  * pipeline — thread-count configs (`pipeline.threads`, reference
+  * internal/pipeline/constructor.go:45-48) have no equivalent because task
+  * parallelism is partition-driven. The `buffer` layer is dropped
+  * deliberately: micro-batching subsumes it (SURVEY.md §1.3).
+  */
+final case class Topology(
+    input: SparkSession => DataFrame,
+    processors: Vector[DataFrame => DataFrame] = Vector.empty) {
+
+  /** Append a processor (the reference's pipeline layer adds them in config
+    * order; order is preserved, reference internal/pipeline/processor.go:44-121).
+    */
+  def proc(p: DataFrame => DataFrame): Topology = copy(processors = processors :+ p)
+
+  def build(spark: SparkSession): DataFrame =
+    processors.foldLeft(input(spark))((df, p) => p(df))
+
+  /** Run with the exactly-once sink. */
+  def run(spark: SparkSession, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    Sink.exactlyOnce(build(spark), outDir, checkpointDir, trigger).start()
+}
+
+object Topology {
+
+  /** fan_in broker (reference: internal/impl/pure/input_broker_fan_in.go):
+    * merge N inputs into one stream.
+    */
+  def fanIn(inputs: Seq[SparkSession => DataFrame]): Topology =
+    Topology(s => inputs.map(_(s)).reduce(_.unionByName(_, allowMissingColumns = true)))
+
+  def fromParquet(path: String): Topology = Topology(_.read.parquet(path))
+
+  def fromParquetStream(path: String, schemaDdl: String): Topology =
+    Topology(_.readStream.schema(schemaDdl).parquet(path))
+
+  /** generate input (internal/impl/pure/input_generate.go): rate-limited
+    * synthetic stream; `rowsPerSecond` maps the reference's `interval`.
+    */
+  def fromRate(rowsPerSecond: Int): Topology =
+    Topology(_.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load())
+
+  /** switch output (reference: internal/impl/pure/output_switch.go:193-238):
+    * route each row to the first matching case's sink; non-strict mode
+    * drops unmatched rows. Implemented as per-case filters inside one
+    * foreachBatch so the batch is scanned once from cache.
+    */
+  def switchSink(cases: Seq[(Column, (DataFrame, Long) => Unit)])(
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try {
+      cases.zipWithIndex.foreach { case ((check, sink), i) =>
+        val notEarlier = cases.take(i).map(_._1).foldLeft(check)((acc, prev) => acc && !prev)
+        sink(batch.filter(notEarlier), batchId)
+      }
+    } finally batch.unpersist()
+  }
+}
