@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.queries._
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
@@ -10,32 +11,33 @@ import graft.sources.Tables
   * SQL-expressible ones also get a DuckDB oracle in `oracleSql` (prefixed
   * with Tables.TranscriptsCte when they run over the derived transcripts
   * table). Column names are aliased identically on both sides — the driver
-  * sorts columns by name before hashing.
+  * sorts columns by name before hashing. Queries without an oracle
+  * (xxhash64-based signatures, LSH probes, top-k float boundaries) get the
+  * driver's rows-only check and carry their semantic assertions in the
+  * ScalaTest suites instead.
   */
 object SparkEntry {
   private val T = Tables.TranscriptsCte
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Per-conversation 1h tumbling window: turn count, distinct tools, char
-    * volume (the reference's system_window traffic-light example transposed,
-    * internal/impl/pure/buffer_system_window.go:96-127).
+    * The session join of user turns to assistant/tool replies — the
+    * north_star pipeline's core operator, in its batch form.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_tumbling_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_session_join")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.7 reduce pattern over a tumbling event-time window.
-    "q_tumbling_agg" -> ((s, dir) => {
-      Tables.transcripts(s, dir)
-        .groupBy(col("conv_id"), window(col("ts"), "1 hour").getField("start").as("w"))
-        .agg(
-          count(lit(1)).as("n_turns"),
-          count(col("tool")).as("n_tool_turns"),
-          sum(length(col("text"))).as("sum_chars"))
-        .select(col("conv_id"), unix_timestamp(col("w")).as("window_start"),
-          col("n_turns"), col("n_tool_turns"), col("sum_chars"))
-    }),
-    // §2.7 group_by_value: canonical groupBy(conv_id) reduce.
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ TransformQueries.queries ++ GroupQueries.queries ++
+      WindowQueries.queries ++ JoinQueries.queries ++ DedupeQueries.queries ++
+      TextQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
+
+  def oracleSql: Map[String, String] =
+    baseOracles ++ TransformQueries.oracles ++ GroupQueries.oracles ++
+      WindowQueries.oracles ++ JoinQueries.oracles ++ DedupeQueries.oracles ++
+      TextQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles
+
+  /** §2.7 group_by_value + the TPC-H pricing summary (plain hash aggs). */
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_group_by_value" -> ((s, dir) => {
       Tables.transcripts(s, dir)
         .groupBy(col("conv_id"))
@@ -45,7 +47,6 @@ object SparkEntry {
           max(col("turn_idx")).as("max_idx"),
           sum(length(col("text"))).as("sum_chars"))
     }),
-    // TPC-H-ish pricing summary: plain hash aggregate (map-side combine).
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -56,14 +57,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "q_tumbling_agg" ->
-      (T + """SELECT conv_id,
-        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
-        |  count(*) AS n_turns,
-        |  count(tool) AS n_tool_turns,
-        |  sum(length(text)) AS sum_chars
-        |FROM transcripts GROUP BY 1, 2""".stripMargin),
+  private def baseOracles: Map[String, String] = Map(
     "q_group_by_value" ->
       (T + """SELECT conv_id, count(*) AS n_turns,
         |  count(DISTINCT tool) AS n_tools,

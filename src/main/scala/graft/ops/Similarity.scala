@@ -78,7 +78,7 @@ object Similarity {
       threshold: Double,
       bits: Int = 6): DataFrame = {
     val b = df.select(idCol.as("id"), emb.as("emb"))
-      .withColumn("bucket", lshBucket(emb, bits))
+      .withColumn("bucket", lshBucket(col("emb"), bits))
     val l = b.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
     l.join(r, Seq("bucket"))

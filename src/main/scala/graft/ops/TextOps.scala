@@ -71,13 +71,13 @@ object TextOps {
     round((lenScore + alphaScore + punctScore + stopScore + wordScore) / 5.0, 4)
   }
 
-  /** Rolling polynomial fingerprint (Rabin-Karp style) over the word
-    * sequence: order-sensitive, whitespace-normalized — unlike a raw md5 it
-    * is stable under whitespace/case noise.
+  /** Rolling fingerprint over the word sequence: order-sensitive,
+    * whitespace-normalized — unlike a raw md5 it is stable under
+    * whitespace/case noise. Chained xxhash64(acc, word) rather than a
+    * polynomial so ANSI mode can't overflow.
     */
   def fingerprint(text: Column): Column =
-    aggregate(words(text), lit(0L),
-      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+    aggregate(words(text), lit(0L), (acc, w) => xxhash64(acc, w))
 
   /** Exact content key for hash-dedupe: md5 of NFC-ish normalized text. */
   def contentKey(text: Column): Column =

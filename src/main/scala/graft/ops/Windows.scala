@@ -45,8 +45,13 @@ object Windows {
     * One shuffle on conv_id; both window functions and the later groupBy
     * reuse the same partitioning.
     */
-  def sessionize(df: DataFrame, key: Column, ts: Column, gapSeconds: Long): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ts)
+  def sessionize(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      gapSeconds: Long,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts +: tieBreak: _*)
     val prev = lag(ts, 1).over(w)
     val isNew = when(prev.isNull || unix_timestamp(ts) - unix_timestamp(prev) > gapSeconds, 1)
       .otherwise(0)

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedupe, TextOps}
+import graft.sources.Tables
+
+/** Deduplication family queries (SURVEY.md §2.7 `dedupe` + the
+  * training-data extensions): exact hash dedupe with a DuckDB oracle;
+  * MinHash+LSH / SimHash signatures (xxhash64-based — no DuckDB
+  * equivalent, so rows-only checks; ScalaTest DedupeSpec carries the
+  * semantic assertions); n-gram Jaccard with a full oracle.
+  */
+object DedupeQueries {
+  private val T = Tables.TranscriptsCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact first-writer-wins dedupe on normalized content hash
+    // (reference: internal/old/processor/dedupe.go:78-81,128-170).
+    "q_dedupe_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedupe.exactFirst(
+        docs.withColumn("ckey", TextOps.contentKey(col("text"))),
+        col("ckey"), col("doc_id"))
+        .select("doc_id", "ckey")
+    }),
+
+    // character-3-gram Jaccard similarity of each doc against its neighbor
+    // — the exact verifier of the near-dup pipeline, oracle-checked.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.select(col("doc_id"),
+        Dedupe.charNgrams(col("text"), 3).as("ng_a"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        Dedupe.charNgrams(col("text"), 3).as("ng_b"))
+      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(Dedupe.jaccard(col("ng_a"), col("ng_b")), 6).as("jac"))
+    }),
+
+    // MinHash+LSH near-dup candidate pairs, Jaccard-verified in-bucket
+    // (shingle→minhash→band→bucket-join; xxhash64 → rows-only check here,
+    // semantics asserted in DedupeSpec).
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedupe.minhashDupPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), threshold = 0.25, k = 3, numHashes = 20, bands = 10)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // SimHash 64-bit signatures + Hamming distance to the neighbor doc
+    // (rows-only: xxhash64-based).
+    "q_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedupe.simhash(col("text")).as("sig"))
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("sig").as("sig_b"))
+      docs.join(nxt, Seq("doc_id"))
+        .select(col("doc_id"), col("sig"),
+          Dedupe.hamming(col("sig"), col("sig_b")).as("ham_next"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedupe_exact" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ckey
+        |FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  ORDER BY doc_id) = 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH ng AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(lower(text)) - 2, 1) + 1),
+        |      i -> substr(lower(text), CAST(i AS INT), 3)),
+        |    s -> len(s) = 3)) AS g
+        |  FROM documents)
+        |SELECT a.doc_id,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.g, b.g))) END, 6) AS jac
+        |FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1""".stripMargin
+  )
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.GroupOps
+import graft.sources.Tables
+
+/** Oracle-checked queries for grouping / batch-shaping (SURVEY.md §2.7,
+  * §2.4): group_by routing, group_by_value reduce, archive/unarchive
+  * round-trip, select_parts, bounds_check, insert_part, top-k.
+  */
+object GroupQueries {
+  private val T = Tables.TranscriptsCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // group_by: route rows to the FIRST matching predicate group; unmatched
+    // dropped (reference: internal/old/processor/group_by.go:90-92,148-199).
+    "q_group_by" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      GroupOps.groupBy(df, Seq(
+        "tools" -> (col("role") === "tool"),
+        "openers" -> (col("turn_idx") === 0),
+        "long" -> (length(col("text")) > 50)))
+        .groupBy(col("group"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_chars"))
+    }),
+
+    // archive(json_array): pack each conversation into one ordered row
+    // (reference: internal/old/processor/archive.go:59,117).
+    "q_archive" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      GroupOps.archive(df, col("conv_id"), col("turn_idx"), col("text"))
+        .select(col("conv_id"), size(col("archived")).as("n_parts"),
+          array_join(col("archived"), "|").as("joined"))
+    }),
+
+    // unarchive: archive → explode back; round-trips to the original rows
+    // (reference: internal/old/processor/unarchive.go:50,321-335).
+    "q_unarchive" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      val packed = GroupOps.archive(df, col("conv_id"), col("turn_idx"), col("text"))
+      GroupOps.unarchive(packed.select("conv_id", "archived"), col("archived"))
+        .select(col("conv_id"), col("turn_idx"), col("payload").as("text_rt"))
+    }),
+
+    // select_parts with negative indexing: first two and last turn of each
+    // conversation (reference: internal/old/processor/select_parts.go:55,
+    // negative indexes internal/message/message.go:50-56).
+    "q_select_parts" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      GroupOps.selectParts(df, col("conv_id"), col("turn_idx"), Seq(0, 1, -1))
+        .select("conv_id", "turn_idx", "role")
+    }),
+
+    // bounds_check: conversations with 5..60 turns, rows 10..200 chars
+    // (reference: internal/old/processor/bounds_check.go:45).
+    "q_bounds_check" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      GroupOps.boundsCheck(df, col("conv_id"), col("text"), 5, 60, 10, 200)
+        .select("conv_id", "turn_idx")
+    }),
+
+    // windowed.yaml reduce shape: collapse each group to one summary row
+    // (reference: config/test/bloblang/windowed.yaml:1-28).
+    "q_reduce_batch" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      GroupOps.reduceBatch(df, col("conv_id"), length(col("text")))
+    }),
+
+    // insert_part: append a constructed summary row per conversation
+    // (reference: internal/old/processor/insert_part.go:56).
+    "q_insert_part" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+        .select("conv_id", "turn_idx", "role", "text")
+      val synthetic = df.groupBy(col("conv_id"))
+        .agg(max(col("turn_idx")).as("mx"), count(lit(1)).as("n"))
+        .select(col("conv_id"), (col("mx") + 1).cast("int").as("turn_idx"),
+          lit("system").as("role"),
+          format_string("[summary] %d turns", col("n")).as("text"))
+      GroupOps.insertPart(df, synthetic)
+    }),
+
+    // top-k: conversations by turn volume (Catalyst TakeOrderedAndProject —
+    // no full sort at scale; not in the reference, free from Spark).
+    "q_topk_convs" -> ((s, dir) => {
+      Tables.transcripts(s, dir)
+        .groupBy(col("conv_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("conv_id"))
+        .limit(10)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_group_by" -> (T +
+      """SELECT g AS "group", count(*) AS n, sum(length(text)) AS sum_chars
+        |FROM (SELECT *, CASE WHEN role = 'tool' THEN 'tools'
+        |                     WHEN turn_idx = 0 THEN 'openers'
+        |                     WHEN length(text) > 50 THEN 'long' END AS g
+        |      FROM transcripts)
+        |WHERE g IS NOT NULL GROUP BY 1""".stripMargin),
+    "q_archive" -> (T +
+      """SELECT conv_id, count(*) AS n_parts,
+        |  string_agg(text, '|' ORDER BY turn_idx) AS joined
+        |FROM transcripts GROUP BY 1""".stripMargin),
+    "q_unarchive" -> (T +
+      "SELECT conv_id, turn_idx, text AS text_rt FROM transcripts"),
+    "q_select_parts" -> (T +
+      """SELECT conv_id, turn_idx, role FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS idx,
+        |            count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM transcripts)
+        |WHERE idx = 0 OR idx = 1 OR idx = n - 1""".stripMargin),
+    "q_bounds_check" -> (T +
+      """SELECT conv_id, turn_idx FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY conv_id) AS n FROM transcripts)
+        |WHERE n BETWEEN 5 AND 60 AND length(text) BETWEEN 10 AND 200""".stripMargin),
+    "q_reduce_batch" -> (T +
+      """SELECT conv_id, sum(length(text)) AS "sum", max(length(text)) AS "max",
+        |  min(length(text)) AS "min", count(*) AS n
+        |FROM transcripts GROUP BY 1""".stripMargin),
+    "q_insert_part" -> (T +
+      """SELECT conv_id, turn_idx, role, text FROM transcripts
+        |UNION ALL
+        |SELECT conv_id, CAST(max(turn_idx) + 1 AS INT), 'system',
+        |  printf('[summary] %d turns', count(*))
+        |FROM transcripts GROUP BY conv_id""".stripMargin),
+    "q_topk_convs" -> (T +
+      """SELECT conv_id, count(*) AS n FROM transcripts GROUP BY 1
+        |ORDER BY n DESC, conv_id LIMIT 10""".stripMargin)
+  )
+}

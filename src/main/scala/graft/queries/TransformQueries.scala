@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.blob.Blob
+import graft.ops.{Errors, Transforms}
+import graft.sources.Tables
+
+/** Oracle-checked queries for the per-row transform family (SURVEY.md §2.4,
+  * §2.6, §2.9): bloblang mapping, deleted() filtering, branch enrichment,
+  * workflow tiers, grok extraction, scalar function surface, and
+  * try/catch/switch error routing.
+  */
+object TransformQueries {
+  private val T = Tables.TranscriptsCte
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bloblang mapping processor: ordered computed-field assignments
+    // (reference: internal/old/processor/bloblang.go:130-181).
+    "q_map_proc" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      Transforms.mapProc(df,
+        "role_up" -> Blob.uppercase(col("role")),
+        "text_len" -> length(col("text")),
+        "content_md5" -> Blob.hash(col("text"), "md5"),
+        "tag" -> Blob.format("%s#%d", col("conv_id"), col("turn_idx")))
+        .select("conv_id", "turn_idx", "role_up", "text_len", "content_md5", "tag")
+    }),
+
+    // root = deleted() filtering (bloblang functions.go:277).
+    "q_filter_proc" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      Transforms.filterProc(df, col("role") === "tool" || length(col("text")) < 24)
+        .select("conv_id", "turn_idx", "role", "text")
+    }),
+
+    // branch processor with a lookup child = broadcast enrichment join
+    // (reference: internal/old/processor/branch.go:327-480).
+    "q_branch_enrich" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val dim = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      Transforms.enrich(cust, dim, Seq("c_nationkey"))
+        .select("c_custkey", "c_name", "c_mktsegment", "n_name")
+    }),
+
+    // workflow processor: tiered DAG of computed columns, later tiers
+    // reading earlier ones (reference: internal/old/processor/workflow.go:48-116).
+    "q_workflow" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      Transforms.workflow(df, Seq(
+        Seq(
+          "t_len" -> ((d: DataFrame) => length(col("text"))),
+          "t_words" -> ((d: DataFrame) => size(split(col("text"), " ")))),
+        Seq(
+          "chars_per_word" -> ((d: DataFrame) => round(col("t_len") / col("t_words"), 3)))))
+        .select("conv_id", "turn_idx", "t_len", "t_words", "chars_per_word")
+    }),
+
+    // grok processor: regex-dictionary extraction to typed fields
+    // (reference: internal/old/processor/grok.go:91).
+    "q_grok" -> ((s, dir) => {
+      Tables.transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        regexp_extract(col("text"), "^\\[(\\w+) (\\d+)\\]", 1).as("g_role"),
+        regexp_extract(col("text"), "^\\[(\\w+) (\\d+)\\]", 2).cast("int").as("g_idx"),
+        get_json_object(regexp_extract(col("text"), "\\{.*\\}$", 0), "$.k")
+          .cast("int").as("prop_k"))
+    }),
+
+    // Scalar expression surface (Bloblang → Catalyst, SURVEY.md §2.6):
+    // one projection exercising encode/hash/string/json functions.
+    "q_blob_scalars" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Blob.encodeBase64(substring(col("text"), 1, 12)).as("b64"),
+        Blob.encodeHex(substring(col("text"), 1, 6)).as("hexed"),
+        Blob.indexOf(col("text"), "the").as("idx_the"),
+        Blob.hasPrefix(col("text"), lit("the ")).as("pref"),
+        Blob.capitalize(col("text")).substr(1, 20).as("cap20"),
+        Blob.reReplaceAll(col("text"), "[aeiou]", "_").substr(1, 20).as("devow20"),
+        reverse(substring(col("text"), 1, 10)).as("rev10"),
+        Blob.hash(col("text"), "sha256").as("sha"),
+        Blob.parseDuration(lit("1h2m3s450ms")).as("dur_ns"),
+        Blob.splitStr(col("text"), " ").getItem(0).as("first_word"),
+        Blob.trim_(Blob.replaceAll(col("text"), "the", "-")).substr(1, 20).as("repl20"))
+    }),
+
+    // try/catch error routing (reference: internal/old/processor/try.go:83-153,
+    // catch.go:120-152 — catch clears the error flag after handling).
+    "q_try_catch" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      val marked = Errors.markError(df, length(col("text")) > 60, lit("too long"))
+      val tried = Errors.tryProc(marked, "text", upper(col("text")))
+      val caught = Errors.catchProc(tried, "text", lit("REDACTED"))
+      caught.select(col("conv_id"), col("turn_idx"), col("text").as("text_out"),
+        col(Errors.ErrCol).as("err_after"))
+    }),
+
+    // switch processor first-match routing (reference: switch.go:94-105).
+    "q_switch" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir).withColumn("category", lit("other"))
+      Errors.switchProc(df, "category", Seq(
+        (col("role") === "user") -> lit("question"),
+        (col("role") === "assistant") -> lit("answer"),
+        (col("role") === "tool") -> concat(lit("tool:"), col("tool"))))
+        .select("conv_id", "turn_idx", "category")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_map_proc" -> (T +
+      """SELECT conv_id, turn_idx, upper(role) AS role_up,
+        |  length(text) AS text_len, md5(text) AS content_md5,
+        |  printf('%s#%d', conv_id, turn_idx) AS tag
+        |FROM transcripts""".stripMargin),
+    "q_filter_proc" -> (T +
+      """SELECT conv_id, turn_idx, role, text FROM transcripts
+        |WHERE NOT (role = 'tool' OR length(text) < 24)""".stripMargin),
+    "q_branch_enrich" ->
+      """SELECT c_custkey, c_name, c_mktsegment, n_name
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q_workflow" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  length(text) AS t_len,
+        |  len(string_split(text, ' ')) AS t_words,
+        |  round(length(text) / len(string_split(text, ' ')), 3) AS chars_per_word
+        |FROM transcripts""".stripMargin),
+    "q_grok" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  regexp_extract(text, '^\[(\w+) (\d+)\]', 1) AS g_role,
+        |  CAST(regexp_extract(text, '^\[(\w+) (\d+)\]', 2) AS INT) AS g_idx,
+        |  CAST(regexp_extract(text, '\{.*\}$', 0)->>'$.k' AS INT) AS prop_k
+        |FROM transcripts""".stripMargin),
+    "q_blob_scalars" ->
+      """SELECT doc_id,
+        |  to_base64(encode(substr(text, 1, 12))) AS b64,
+        |  lower(hex(encode(substr(text, 1, 6)))) AS hexed,
+        |  strpos(text, 'the') - 1 AS idx_the,
+        |  starts_with(text, 'the ') AS pref,
+        |  substr(upper(substr(text, 1, 1)) || substr(text, 2), 1, 20) AS cap20,
+        |  substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 20) AS devow20,
+        |  reverse(substr(text, 1, 10)) AS rev10,
+        |  sha256(text) AS sha,
+        |  CAST(3723450000000 AS BIGINT) AS dur_ns,
+        |  string_split(text, ' ')[1] AS first_word,
+        |  substr(trim(replace(text, 'the', '-')), 1, 20) AS repl20
+        |FROM documents""".stripMargin,
+    "q_try_catch" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  CASE WHEN length(text) > 60 THEN 'REDACTED' ELSE upper(text) END AS text_out,
+        |  CAST(NULL AS VARCHAR) AS err_after
+        |FROM transcripts""".stripMargin),
+    "q_switch" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  CASE WHEN role = 'user' THEN 'question'
+        |       WHEN role = 'assistant' THEN 'answer'
+        |       WHEN role = 'tool' THEN 'tool:' || tool
+        |       ELSE 'other' END AS category
+        |FROM transcripts""".stripMargin)
+  )
+}

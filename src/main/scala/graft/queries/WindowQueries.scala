@@ -1,0 +1,170 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.Turn
+import graft.ops.Windows
+import graft.sources.Tables
+import graft.streaming.{SessionJoin, Sink}
+
+/** Oracle-checked queries for the windowing family (SURVEY.md §2.8):
+  * tumbling / sliding / session windows, the window_end stamp, the session
+  * join (batch AND full streaming engine), all cross-checked against
+  * DuckDB's window functions.
+  */
+object WindowQueries {
+  private val T = Tables.TranscriptsCte
+
+  /** Session gap for the events-derived transcripts: 12h (the events table
+    * spans 30 days at ~67 turns/conv, so a chat-scale 30min gap would make
+    * nearly every turn its own session — 12h yields ~3 turns/session).
+    */
+  val GapSeconds = 43200L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling event-time window + reduce (reference: internal/impl/pure/
+    // buffer_system_window.go:96-127, alignment math :236-266).
+    "q_tumbling_agg" -> ((s, dir) => {
+      Tables.transcripts(s, dir)
+        .groupBy(col("conv_id"), window(col("ts"), "1 hour").getField("start").as("w"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          count(col("tool")).as("n_tool_turns"),
+          sum(length(col("text"))).as("sum_chars"))
+        .select(col("conv_id"), unix_timestamp(col("w")).as("window_start"),
+          col("n_turns"), col("n_tool_turns"), col("sum_chars"))
+    }),
+
+    // sliding window: size 2h, slide 1h — each row lands in 2 windows
+    // (reference: buffer_system_window.go docs lines 33-35, math :252-258).
+    "q_sliding_agg" -> ((s, dir) => {
+      Windows.sliding(Tables.transcripts(s, dir), col("ts"), "2 hours", "1 hour")
+        .groupBy(col("conv_id"), col("window").getField("start").as("w"))
+        .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("sum_chars"))
+        .select(col("conv_id"), unix_timestamp(col("w")).as("window_start"),
+          col("n_turns"), col("sum_chars"))
+    }),
+
+    // per-row window_end stamp (reference: buffer_system_window.go line 376
+    // adds `window_end_timestamp` metadata to every flushed message).
+    "q_window_end_stamp" -> ((s, dir) => {
+      Windows.stampWindowEnd(
+        Windows.tumbling(Tables.transcripts(s, dir), col("ts"), "1 hour"))
+        .select(col("conv_id"), col("turn_idx"),
+          unix_timestamp(col("window_end_timestamp")).as("window_end"))
+    }),
+
+    // session windows (north_rule; NOT in the reference, which only has
+    // tumbling/sliding — SURVEY.md §2.8): gap-based sessionization + agg.
+    "q_session_agg" -> ((s, dir) => {
+      Windows.sessionize(Tables.transcripts(s, dir), col("conv_id"), col("ts"),
+        GapSeconds, Seq(col("turn_idx")))
+        .groupBy(col("conv_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(length(col("text"))).as("sum_chars"))
+    }),
+
+    // the flagship join, batch window-function form: each assistant/tool
+    // turn paired with the latest preceding user turn in its session
+    // (reference pattern: config/examples/joining_streams.yaml:23-56).
+    "q_session_join" -> ((s, dir) => {
+      SessionJoin.pairBatch(Tables.transcripts(s, dir), GapSeconds)
+    }),
+
+    // the SAME join through the full streaming engine: parquet file stream
+    // → watermark → flatMapGroupsWithState → exactly-once sink → read back
+    // committed batches. The oracle is identical to q_session_join's —
+    // streaming output must equal the batch/DuckDB result row-for-row.
+    "q_stream_session_join" -> ((s, dir) => streamSessionJoin(s, dir)))
+
+  private def streamSessionJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batch = Tables.transcripts(s, dir)
+    val work = Files.createTempDirectory("qstream").toString
+    val inDir = s"$work/in"
+    batch.orderBy(col("ts")).coalesce(8).write.parquet(inDir)
+    val schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
+    def turnsStream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 3).parquet(inDir).as[Turn]
+    // Watermark delay > the whole data span: file-arrival order is not
+    // guaranteed to follow event time, so nothing may be dropped as late
+    // here (the late-drop semantics are exercised by SessionJoinSpec).
+    val delay = "40 days"
+    def runOnce(): Unit = {
+      val q = Sink.exactlyOnce(
+        SessionJoin.pairStreaming(turnsStream, GapSeconds, delay),
+        s"$work/out", s"$work/ck", Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // phase 1: ingest + buffer state across micro-batches
+    // phase 2: a sentinel turn far enough ahead that the watermark
+    // (sentinel ts - delay) passes every open session's end
+    val maxSec = batch.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    val sentinelTs = new java.sql.Timestamp(
+      (maxSec + 40L * 86400 + GapSeconds + 86400) * 1000)
+    Seq(Turn("zzz-sentinel", 0, "user", "sentinel", null, sentinelTs)).toDS()
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runOnce() // processes sentinel, advances watermark
+    runOnce() // timeout fires -> buffered sessions flush
+    Sink.readCommitted(s, s"$work/out")
+      .filter(col("conv_id") =!= "zzz-sentinel")
+      .drop("_batch_id", "_partition_id")
+  }
+
+  private def sessionedCte(gap: Long): String =
+    s"""sessioned AS (
+       |  SELECT *, sum(CASE WHEN prev_ts IS NULL
+       |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > $gap
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+       |  FROM (SELECT *, lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+       |        FROM transcripts))
+       |""".stripMargin
+
+  private val sessionJoinSql: String =
+    T.stripSuffix("\n") + ", " + sessionedCte(GapSeconds) +
+      """SELECT conv_id, session_id,
+        |  u.turn_idx AS user_turn_idx, u.text AS user_text,
+        |  turn_idx AS reply_turn_idx, role AS reply_role, text AS reply_text,
+        |  tool AS reply_tool, u.ts AS user_ts, ts AS reply_ts
+        |FROM (
+        |  SELECT conv_id, session_id, turn_idx, role, text, tool, ts,
+        |    last_value(CASE WHEN role = 'user'
+        |        THEN struct_pack(turn_idx := turn_idx, text := text, ts := ts) END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY conv_id, session_id ORDER BY ts, turn_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS u
+        |  FROM sessioned)
+        |WHERE role <> 'user' AND u IS NOT NULL""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_tumbling_agg" -> (T +
+      """SELECT conv_id,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  count(*) AS n_turns, count(tool) AS n_tool_turns,
+        |  sum(length(text)) AS sum_chars
+        |FROM transcripts GROUP BY 1, 2""".stripMargin),
+    "q_sliding_agg" -> (T +
+      """SELECT conv_id,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - off AS window_start,
+        |  count(*) AS n_turns, sum(length(text)) AS sum_chars
+        |FROM transcripts CROSS JOIN (SELECT unnest([0, 3600]) AS off)
+        |GROUP BY 1, 2""".stripMargin),
+    "q_window_end_stamp" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 AS window_end
+        |FROM transcripts""".stripMargin),
+    "q_session_agg" -> (T.stripSuffix("\n") + ", " + sessionedCte(GapSeconds) +
+      """SELECT conv_id, session_id, count(*) AS n_turns,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  sum(length(text)) AS sum_chars
+        |FROM sessioned GROUP BY 1, 2""".stripMargin),
+    "q_session_join" -> sessionJoinSql,
+    "q_stream_session_join" -> sessionJoinSql
+  )
+}
