@@ -29,23 +29,34 @@ object Flagship {
       maxStateRows: Long,
       maxStateBytes: Long)
 
-  /** Run the streaming flagship over a bounded deterministic stream.
-    * The generated transcripts are written to parquet first, then streamed
-    * file-by-file (maxFilesPerTrigger) so the run has real micro-batches,
-    * watermark movement, and state eviction — not one giant batch.
+  /** Stage a deterministic transcript stream to parquet: sorted by ts so
+    * file order ≈ arrival order (the generator's late stragglers stay late
+    * within a file). Returns the input dir. Staged once, replayed at
+    * multiple parallelism levels by Bench for the scaling measurement.
     */
-  def run(spark: SparkSession, nConvs: Long, filesPerTrigger: Int = 4,
-      nFiles: Int = 16, hotConvs: Int = 0): Result = {
-    import spark.implicits._
-    val work = Files.createTempDirectory("flagship").toString
+  def stage(spark: SparkSession, nConvs: Long, nFiles: Int = 16,
+      hotConvs: Int = 0): String = {
+    val work = graft.util.Tmp.dir("flagship")
     val inDir = s"$work/in"
-    // Stage the stream: sort by ts so file order ≈ arrival order (the
-    // generator's late stragglers stay late within a file).
     TranscriptGen.transcripts(spark, nConvs, 42L, hotConvs)
       .orderBy(col("ts"))
       .coalesce(nFiles)
       .write.parquet(inDir)
+    inDir
+  }
 
+  /** Run the streaming flagship over a bounded deterministic stream,
+    * file-by-file (maxFilesPerTrigger) so the run has real micro-batches,
+    * watermark movement, and state eviction — not one giant batch.
+    */
+  def run(spark: SparkSession, nConvs: Long, filesPerTrigger: Int = 4,
+      nFiles: Int = 16, hotConvs: Int = 0): Result =
+    runStaged(spark, stage(spark, nConvs, nFiles, hotConvs), filesPerTrigger)
+
+  /** Run the pipeline over an already-staged input dir. */
+  def runStaged(spark: SparkSession, inDir: String, filesPerTrigger: Int = 4): Result = {
+    import spark.implicits._
+    val work = graft.util.Tmp.dir("flagship-run")
     val metrics = Metrics.install(spark)
     val turns = spark.readStream
       .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
@@ -64,6 +75,7 @@ object Flagship {
     val nPairs = Sink.readCommitted(spark, s"$work/out").count()
     val snaps = metrics.snapshots
     spark.streams.removeListener(metrics)
+    graft.util.Tmp.delete(work) // checkpoint + sink are ephemeral per run
     Result(nTurns, nPairs, elapsed, nTurns / elapsed, metrics.p99LatencyMs,
       if (snaps.isEmpty) 0 else snaps.map(_.stateRows).max,
       if (snaps.isEmpty) 0 else snaps.map(_.stateBytes).max)
@@ -72,15 +84,24 @@ object Flagship {
   def main(args: Array[String]): Unit = {
     val nConvs = if (args.length > 0) args(0).toLong else 2000L
     val cores = if (args.length > 1) args(1) else "8"
+    val filesPerTrigger = if (args.length > 2) args(2).toInt else 4
+    val nFiles = if (args.length > 3) args(3).toInt else 16
+    val parts = if (args.length > 4) args(4) else cores
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-flagship")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", graft.util.Tmp.dir("spark-local"))
+      // RocksDB state store: keeps the (multi-GB at this scale) session
+      // state off-heap, so GC cost doesn't grow with state size — the
+      // production choice for large stateful streaming jobs.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, nConvs)
+    val r = run(spark, nConvs, filesPerTrigger, nFiles)
     println(f"""{"turns":${r.turns},"pairs":${r.pairs},"elapsed_sec":${r.elapsedSec}%.2f,""" +
       f""""turns_per_sec":${r.turnsPerSec}%.0f,"p99_latency_ms":${r.p99LatencyMs},""" +
       f""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes}}""")

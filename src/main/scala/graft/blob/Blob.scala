@@ -194,5 +194,56 @@ object Blob {
   // Bloblang `|` pipe operator (arithmetic.go:19-53): lhs null/error → rhs.
   def pipe(l: Column, r: Column): Column = coalesce(l, r)
 
+  // ---------------------------------------------------------------- codecs /
+  /** compress/decompress processors, gzip codec (reference:
+    * internal/old/processor/compress.go:42, decompress.go:42). Storage-level
+    * codecs are preferred at scale; these inline UDFs exist for payload
+    * parity only. // UDF
+    */
+  val gzipCompress: Column => Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(b); gz.close()
+        bos.toByteArray
+      }
+    }
+    c => f(c.cast("binary"))
+  }
+  val gzipDecompress: Column => Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      }
+    }
+    c => f(c)
+  }
+
+  /** parse_log processor, syslog RFC3164 shape (reference:
+    * internal/old/processor/parse_log.go:38,98-123) as a regexp bundle —
+    * returns a struct(priority, timestamp, hostname, appname, message).
+    */
+  def parseSyslog3164(c: Column): Column = {
+    val re = "^<(\\d+)>([A-Z][a-z]{2} [ 0-9]\\d [0-9:]{8}) (\\S+) ([^:\\[ ]+)(?:\\[\\d+\\])?: (.*)$"
+    struct(
+      regexp_extract(c, re, 1).try_cast("int").as("priority"),
+      regexp_extract(c, re, 2).as("timestamp"),
+      regexp_extract(c, re, 3).as("hostname"),
+      regexp_extract(c, re, 4).as("appname"),
+      regexp_extract(c, re, 5).as("message"))
+  }
+
+  /** parse_xml (methods_strings.go:1011) via Spark 4's native from_xml. */
+  def parseXml(c: Column, schemaDdl: String): Column =
+    from_xml(c, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+
   private def forceStr(c: Column): Column = c.cast("string")
 }

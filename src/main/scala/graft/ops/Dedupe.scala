@@ -56,13 +56,10 @@ object Dedupe {
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
     * `rowsPerBand` hashes; rows sharing any band bucket are candidate
-    * duplicates. Emits (bucket = hash(band_idx, band_values), doc) pairs —
-    * the classic shingle→minhash→band→bucket-join pipeline. Candidates are
-    * verified by exact Jaccard inside the bucket join.
-    *
-    * Scale: the only shuffle is on the band bucket key; bucket sizes are
-    * the skew risk, so verification joins should run under AQE skew
-    * handling (on by default in our sessions).
+    * duplicates. Emits narrow (bucket, doc_id) pairs — the classic
+    * shingle→minhash→band→bucket-join pipeline; shingle sets are NOT
+    * carried through the shuffle (at 100 TB the banded exchange must be
+    * two thin columns, not the document payload).
     */
   def minhashLsh(
       df: DataFrame,
@@ -72,24 +69,27 @@ object Dedupe {
       numHashes: Int = 20,
       bands: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df
-      .withColumn("__shingles", shingles(text, k))
+    df.select(idCol.as("doc_id"), shingles(text, k).as("__shingles"))
       .filter(size(col("__shingles")) > 0)
       .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
-    val banded = withSig.select(
-      idCol.as("doc_id"),
-      col("__shingles"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, array_join(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
-      .withColumnRenamed("col", "bucket")
-      .drop("pos")
-    banded
+      .select(col("doc_id"),
+        explode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, array_join(
+              slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+          .as("bucket"))
   }
 
   /** Candidate near-duplicate pairs via LSH buckets, verified with exact
     * Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard) with doc_a <
-    * doc_b, distinct.
+    * doc_b.
+    *
+    * Scale shape: (1) bucket self-join on two thin columns; (2) DISTINCT
+    * collapses multi-band collisions BEFORE verification so Jaccard runs
+    * once per candidate pair; (3) shingle sets are re-attached by two
+    * id-keyed joins (map-side recompute is cheaper than shuffling arrays
+    * through the bucket exchange). Skewed buckets are handled by AQE
+    * skew-join (on by default).
     */
   def minhashDupPairs(
       df: DataFrame,
@@ -99,16 +99,21 @@ object Dedupe {
       k: Int = 5,
       numHashes: Int = 20,
       bands: Int = 5): DataFrame = {
+    val withSh = df.select(idCol.as("doc_id"), shingles(text, k).as("sh"))
+      .filter(size(col("sh")) > 0)
     val banded = minhashLsh(df, idCol, text, k, numHashes, bands)
-    val a = banded.select(col("bucket"), col("doc_id").as("doc_a"), col("__shingles").as("sh_a"))
-    val b = banded.select(col("bucket"), col("doc_id").as("doc_b"), col("__shingles").as("sh_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"), Seq("bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** SimHash: 64-bit signature where bit i is the sign of the sum over

@@ -84,7 +84,7 @@ object WindowQueries {
   private def streamSessionJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val batch = Tables.transcripts(s, dir)
-    val work = Files.createTempDirectory("qstream").toString
+    val work = graft.util.Tmp.dir("qstream")
     val inDir = s"$work/in"
     batch.orderBy(col("ts")).coalesce(8).write.parquet(inDir)
     val schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"

@@ -95,10 +95,12 @@ object SessionJoin {
     * window buffer would flush (buffer_system_window.go:421-428), but
     * data-driven instead of wall-clock.
     *
-    * Late turns older than the watermark were already excluded upstream by
-    * `withWatermark`; turns arriving after their conversation's flush open
-    * a NEW session (monotonically correct: their ts exceeds flushed ts +
-    * gap, or they'd have been dropped as late).
+    * Late-data contract: flatMapGroupsWithState does NOT drop rows behind
+    * the watermark (unlike windowed aggs), so `processConv` drops them
+    * explicitly — the reference's own rule (messages older than the last
+    * flushed window are purged, buffer_system_window.go:333-336). Turns
+    * arriving after their conversation's flush but within the watermark
+    * open a NEW session.
     */
   def pairStreaming(
       turns: Dataset[Turn],
@@ -118,21 +120,36 @@ object SessionJoin {
       incoming: Iterator[Turn],
       state: GroupState[ConvState]): Iterator[PairedTurn] = {
     val old = state.getOption.getOrElse(ConvState(Nil, 0L))
+    val wm = state.getCurrentWatermarkMs()
     if (state.hasTimedOut) {
-      // Watermark passed last ts + gap: every buffered session is closed.
-      val pairs = pairTurns(old.buffered, gapSeconds)
-        .map(p => p.copy(session_id = p.session_id + old.flushedSessions))
-      val nSessions = sessionCount(old.buffered, gapSeconds)
-      state.update(ConvState(Nil, old.flushedSessions + nSessions))
-      // No further timeout until new data arrives; state is empty.
-      pairs.iterator
+      if (old.buffered.isEmpty) {
+        // tombstone (counts only, nothing buffered): evict — bounded state
+        // at 10^12-conv scale. A conv reappearing after this restarts its
+        // session numbering, like the reference's expired cache entries.
+        state.remove()
+        Iterator.empty
+      } else {
+        // Watermark passed last ts + gap: every buffered session is closed.
+        val pairs = pairTurns(old.buffered, gapSeconds)
+          .map(p => p.copy(session_id = p.session_id + old.flushedSessions))
+        val nSessions = sessionCount(old.buffered, gapSeconds)
+        state.update(ConvState(Nil, old.flushedSessions + nSessions))
+        // keep the tombstone one more gap, then clean it up (branch above)
+        state.setTimeoutTimestamp(wm + gapSeconds * 1000)
+        pairs.iterator
+      }
     } else {
-      val buf = old.buffered ++ incoming
+      // Drop late turns explicitly (flatMapGroupsWithState does not):
+      // reference drop rule buffer_system_window.go:333-336.
+      val fresh = incoming.filter(t => wm == 0 || t.ts.getTime >= wm)
+      val buf = old.buffered ++ fresh
       if (buf.isEmpty) Iterator.empty
       else {
         state.update(ConvState(buf, old.flushedSessions))
         val maxTs = buf.iterator.map(_.ts.getTime).max
-        state.setTimeoutTimestamp(maxTs + gapSeconds * 1000 + 1)
+        // clamp above the watermark: buffered turns may be older than wm
+        // when the watermark jumped within this batch
+        state.setTimeoutTimestamp(math.max(maxTs + gapSeconds * 1000 + 1, wm + 1))
         Iterator.empty
       }
     }

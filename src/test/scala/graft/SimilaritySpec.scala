@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Similarity-search semantics: exact cosine values, brute-force top-k
+  * ranking, ANN bucket probe recall against brute force on planted
+  * vectors, and LSH bucket determinism.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vec(xs: Float*): Seq[Float] = xs.toSeq
+
+  test("cosine: identity = 1, orthogonal = 0, opposite = -1") {
+    val rows = Seq(
+      (1L, vec(1f, 0f, 0f)),
+      (2L, vec(0f, 1f, 0f)),
+      (3L, vec(-1f, 0f, 0f))).toDF("id", "emb")
+    val q = array(lit(1f), lit(0f), lit(0f))
+    val sims = rows.select(col("id"), Similarity.cosine(col("emb"), q))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(sims(1L) - 1.0) < 1e-12)
+    assert(math.abs(sims(2L)) < 1e-12)
+    assert(math.abs(sims(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k returns the k nearest by cosine") {
+    val n = 100
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    // vec i = base + noise/i: smaller i => noisier => lower cosine
+    val data = (1 to n).map { i =>
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        v + (if (j == 0) 2.0f / i else 0f) }.toSeq)
+    }
+    val df = data.toDF("id", "emb")
+    val got = Similarity.bruteForceTopK(df, col("emb"), base.toSeq, 5)
+      .select("id").as[Long].collect().toSet
+    // exact answer computed in plain Scala
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = data.sortBy { case (_, e) => -cos(e, base.toSeq) }.take(5).map(_._1).toSet
+    assert(got == expected)
+  }
+
+  test("ANN bucket probe finds the planted exact-duplicate neighbor") {
+    val rnd = new scala.util.Random(13)
+    val target = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+    val noise = (1 to 200).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = (noise :+ (999L, target)).toDF("id", "emb")
+    val got = Similarity.annTopK(df, col("emb"), target, k = 1, bits = 4)
+      .select("id").as[Long].collect()
+    // identical vector hashes to the query's bucket and has cosine 1
+    assert(got.headOption.contains(999L))
+  }
+
+  test("lshBucket is deterministic and within range") {
+    val df = (1 to 50).map(i => (i.toLong, Seq.fill(8)(i * 0.1f))).toDF("id", "emb")
+    val a = df.select(Similarity.lshBucket(col("emb"), 6)).as[Long].collect()
+    val b = df.select(Similarity.lshBucket(col("emb"), 6)).as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(x => x >= 0 && x < 64))
+  }
+
+  test("cosineDupPairs reports planted duplicates above threshold") {
+    val rnd = new scala.util.Random(29)
+    val v = Seq.fill(12)(rnd.nextFloat() - 0.5f)
+    val rows = Seq((1L, v), (2L, v)) ++
+      (3 to 40).map(i => (i.toLong, Seq.fill(12)(rnd.nextFloat() - 0.5f)))
+    val got = Similarity.cosineDupPairs(rows.toDF("id", "emb"), col("id"),
+      col("emb"), threshold = 0.99, bits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.streaming.Sink
+
+/** Exactly-once sink protocol (BASELINE.json north_rule): idempotent
+  * replay, orphan invisibility after a simulated crash, lineage columns,
+  * and the fan-out / fallback output brokers.
+  */
+class SinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir() = Files.createTempDirectory("sink-spec").toString
+
+  test("replayed batchId commits nothing twice") {
+    val out = freshDir()
+    val batch = Seq(1, 2, 3).toDF("v")
+    Sink.writeBatchIdempotent(out)(batch, 0L)
+    Sink.writeBatchIdempotent(out)(batch, 0L) // replay after "crash"
+    Sink.writeBatchIdempotent(out)(batch, 1L)
+    assert(Sink.readCommitted(spark, out).count() == 6)
+  }
+
+  test("a crash between data write and commit leaves orphans invisible") {
+    val out = freshDir()
+    Sink.writeBatchIdempotent(out)(Seq(1).toDF("v"), 0L)
+    // simulate: batch 5 wrote data but crashed before the commit marker
+    Seq(9, 9, 9).toDF("v").write.parquet(s"$out/data/b5")
+    assert(Sink.readCommitted(spark, out).count() == 1)
+    // the re-attempt overwrites the orphans and commits exactly once
+    Sink.writeBatchIdempotent(out)(Seq(9, 9).toDF("v"), 5L)
+    assert(Sink.readCommitted(spark, out).count() == 3)
+  }
+
+  test("lineage columns record batch and producing partition") {
+    val out = freshDir()
+    Sink.writeBatchIdempotent(out)(spark.range(10).toDF("v").repartition(3), 7L)
+    val rows = Sink.readCommitted(spark, out)
+    assert(rows.select("_batch_id").distinct().as[Long].collect().toSeq == Seq(7L))
+    assert(rows.select("_partition_id").distinct().count() == 3)
+  }
+
+  test("fanOut writes every batch to all sinks; fallback stops at first success") {
+    val out1 = freshDir(); val out2 = freshDir()
+    val batch = Seq(1, 2).toDF("v")
+    Sink.fanOut(Seq(
+      Sink.writeBatchIdempotent(out1), Sink.writeBatchIdempotent(out2)))(batch, 0L)
+    assert(Sink.readCommitted(spark, out1).count() == 2)
+    assert(Sink.readCommitted(spark, out2).count() == 2)
+
+    val okDir = freshDir()
+    var attempts = 0
+    Sink.fallback(Seq(
+      (_, _) => { attempts += 1; throw new RuntimeException("down") },
+      (b, id) => { attempts += 1; Sink.writeBatchIdempotent(okDir)(b, id) },
+      (_, _) => { attempts += 1 }))(batch, 0L)
+    assert(attempts == 2) // third sink never tried
+    assert(Sink.readCommitted(spark, okDir).count() == 2)
+  }
+
+  test("fallback rethrows when every sink fails") {
+    intercept[RuntimeException] {
+      Sink.fallback(Seq((_, _) => throw new RuntimeException("a")))(Seq(1).toDF("v"), 0L)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.streaming.Sink
+import graft.topo.Topology
+
+/** Topology assembly (input → processors → output, reference
+  * internal/stream/type.go:90-135) and multimodal plumbing.
+  */
+class TopologySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("builder chains processors in config order over the input") {
+    val dir = Files.createTempDirectory("topo").toString + "/d"
+    Seq(1, 2, 3, 4).toDF("v").write.parquet(dir)
+    val out = Topology.fromParquet(dir)
+      .proc(_.filter(col("v") > 1))
+      .proc(_.withColumn("v2", col("v") * 10))
+      .build(spark)
+      .select("v2").as[Int].collect().sorted
+    assert(out.toSeq == Seq(20, 30, 40))
+  }
+
+  test("fanIn merges inputs like the fan_in broker, aligning schemas") {
+    val d1 = Files.createTempDirectory("t1").toString + "/d"
+    val d2 = Files.createTempDirectory("t2").toString + "/d"
+    Seq((1, "a")).toDF("v", "s").write.parquet(d1)
+    Seq(2, 3).toDF("v").write.parquet(d2)
+    val merged = Topology.fanIn(Seq(
+      _.read.parquet(d1), _.read.parquet(d2))).build(spark)
+    assert(merged.count() == 3)
+    assert(merged.columns.toSet == Set("v", "s"))
+  }
+
+  test("switchSink routes rows to the first matching case's sink") {
+    val outA = Files.createTempDirectory("sa").toString
+    val outB = Files.createTempDirectory("sb").toString
+    val batch = Seq(1, 5, 20, 25).toDF("v")
+    Topology.switchSink(Seq(
+      (col("v") < 10) -> Sink.writeBatchIdempotent(outA),
+      (col("v") < 30) -> Sink.writeBatchIdempotent(outB)))(batch, 0L)
+    assert(Sink.readCommitted(spark, outA).select("v").as[Int].collect().sorted.toSeq == Seq(1, 5))
+    assert(Sink.readCommitted(spark, outB).select("v").as[Int].collect().sorted.toSeq == Seq(20, 25))
+  }
+
+  test("multimodal decode round-trips the stub metadata; malformed rows drop") {
+    val docs = spark.range(10).toDF("doc_id")
+    val media = Multimodal.withMedia(docs)
+    val meta = Multimodal.decode(media).collect().sortBy(_.doc_id)
+    assert(meta.length == 10)
+    assert(meta(3).width == 64 + 3 * 32 && meta(3).height == 48 + 3 * 32)
+    assert(meta(4).format == "jpeg" && meta(4).n_frames == 5)
+    // malformed payload is dropped, not failed
+    val bad = Seq(Multimodal.MediaRow(99L, Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.decode(bad).count() == 0)
+  }
+}
