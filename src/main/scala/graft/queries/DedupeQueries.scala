@@ -38,12 +38,20 @@ object DedupeQueries {
           round(Dedupe.jaccard(col("ng_a"), col("ng_b")), 6).as("jac"))
     }),
 
-    // MinHash+LSH near-dup candidate pairs, Jaccard-verified in-bucket
-    // (shingle→minhash→band→bucket-join; xxhash64 → rows-only check here,
-    // semantics asserted in DedupeSpec).
+    // MinHash+LSH near-dup pairs, Jaccard-verified (shingle→minhash→band→
+    // bucket-join; xxhash64 → rows-only check here, semantics asserted in
+    // DedupeSpec). The corpus has no real near-dups, so the query plants
+    // deterministic duplicates (every 50th doc re-appears with a shifted
+    // id) among the 98% distractors — the LSH must find exactly that
+    // population without scanning all O(n²) pairs. Production-shaped
+    // parameters: 4-row bands keep the candidate set sparse (a 2-row band
+    // on a small-vocabulary corpus collides for nearly every pair).
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedupe.minhashDupPairs(Tables.documents(s, dir), col("doc_id"),
-        col("text"), threshold = 0.25, k = 3, numHashes = 20, bands = 10)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      Dedupe.minhashDupPairs(docs.unionByName(planted), col("doc_id"),
+        col("text"), threshold = 0.5, k = 5, numHashes = 20, bands = 5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 

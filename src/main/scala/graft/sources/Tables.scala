@@ -33,16 +33,18 @@ object Tables {
 
   /** transcripts(conv_id, turn_idx, role, text, tool, ts) derived from events.
     *
-    * Scale note: the row_number window partitions by user_id — at 10^12 rows
-    * this is a single hash-partitioned shuffle on the conversation key, the
-    * same partitioning every downstream conv_id-keyed op reuses, so the
-    * derivation adds no extra shuffle to the pipeline.
+    * Scale note: conv_id is computed BEFORE the row_number window and the
+    * window partitions by conv_id itself — so the derivation's single
+    * hash shuffle carries exactly the partitioning every downstream
+    * conv_id-keyed op (sessionize, session join, group_by_value) reuses.
+    * Partitioning by user_id instead would force Catalyst to re-shuffle
+    * (it cannot prove `conv-{user_id}` preserves co-partitioning).
     */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = events(spark, sfDir)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.withColumn("turn_idx", (row_number().over(w) - lit(1)).cast("int"))
       .withColumn("conv_id", concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("turn_idx", (row_number().over(w) - lit(1)).cast("int"))
       .withColumn(
         "role",
         when(col("event_type").isin("click", "view"), "user")

@@ -29,6 +29,10 @@ object SessionJoin {
     * sort by (ts, turn_idx); a new session starts when the gap to the
     * previous turn exceeds `gapSeconds`; each assistant/tool turn pairs
     * with the latest user turn seen earlier in its session.
+    *
+    * Gap comparisons happen at SECOND resolution (epoch-second floor, the
+    * `unix_timestamp` semantics of the batch form) so all three
+    * implementations agree on sub-second timestamps.
     */
   def pairTurns(turns: Seq[Turn], gapSeconds: Long = DefaultGapSeconds): Seq[PairedTurn] = {
     val sorted = turns.sortBy(t => (t.ts.getTime, t.turn_idx))
@@ -37,8 +41,8 @@ object SessionJoin {
     var lastUser: Turn = null
     val out = Seq.newBuilder[PairedTurn]
     sorted.foreach { t =>
-      val tMs = t.ts.getTime
-      if (prevTs == Long.MinValue || tMs - prevTs > gapSeconds * 1000) {
+      val tMs = Math.floorDiv(t.ts.getTime, 1000L)
+      if (prevTs == Long.MinValue || tMs - prevTs > gapSeconds) {
         sessionId += 1
         lastUser = null
       }
@@ -160,8 +164,9 @@ object SessionJoin {
     var n = 0L
     var prev = Long.MinValue
     sorted.foreach { t =>
-      if (prev == Long.MinValue || t.ts.getTime - prev > gapSeconds * 1000) n += 1
-      prev = t.ts.getTime
+      val sec = Math.floorDiv(t.ts.getTime, 1000L)
+      if (prev == Long.MinValue || sec - prev > gapSeconds) n += 1
+      prev = sec
     }
     n
   }
