@@ -87,6 +87,20 @@ object Sink {
     finally batch.unpersist()
   }
 
+  /** round_robin / greedy brokers (reference: internal/impl/pure/
+    * output_broker_round_robin.go, output_broker_greedy.go): load-share
+    * rows across N child sinks. The reference deals messages one at a
+    * time; here the deal is a deterministic hash-modulo split so every
+    * row goes to exactly one child regardless of partitioning or retries.
+    */
+  def roundRobin(sinks: Seq[(DataFrame, Long) => Unit])(batch: DataFrame, batchId: Long): Unit = {
+    val n = sinks.size
+    val ticket = pmod(hash(batch.columns.map(col).toSeq: _*), lit(n))
+    batch.persist()
+    try sinks.zipWithIndex.foreach { case (s, i) => s(batch.filter(ticket === i), batchId) }
+    finally batch.unpersist(): Unit
+  }
+
   /** fallback/try broker (internal/impl/pure/output_fallback.go): attempt
     * sinks in order until one succeeds.
     */

@@ -59,6 +59,18 @@ class SinkSpec extends SparkTestBase {
     assert(Sink.readCommitted(spark, okDir).count() == 2)
   }
 
+  test("roundRobin deals every row to exactly one child sink") {
+    val outs = Seq.fill(3)(freshDir())
+    val batch = spark.range(100).toDF("v")
+    Sink.roundRobin(outs.map(Sink.writeBatchIdempotent))(batch, 0L)
+    val counts = outs.map(o => Sink.readCommitted(spark, o).count())
+    assert(counts.sum == 100)
+    assert(counts.forall(_ > 0)) // hash-modulo spreads across all children
+    val union = outs.map(o => Sink.readCommitted(spark, o).select("v"))
+      .reduce(_.unionAll(_)).distinct()
+    assert(union.count() == 100) // no row dealt twice
+  }
+
   test("fallback rethrows when every sink fails") {
     intercept[RuntimeException] {
       Sink.fallback(Seq((_, _) => throw new RuntimeException("a")))(Seq(1).toDF("v"), 0L)
