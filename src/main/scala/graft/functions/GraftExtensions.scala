@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registrar for the engine's native expressions —
+  * the public plugin surface, mirroring the reference's Bloblang plugin
+  * registration (reference: public/bloblang/environment.go
+  * RegisterFunctionV2). Activate with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`; the functions
+  * then resolve in SQL and `expr(...)` as `graft_token_count`,
+  * `graft_simhash64`, `graft_cosine`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_token_count", "one-pass whitespace-family token count",
+      args => TokenCount(args.head)),
+    ("graft_simhash64", "one-pass 64-bit SimHash signature",
+      args => SimHash64(args.head)),
+    ("graft_cosine", "cosine similarity of two ARRAY<FLOAT> columns",
+      args => CosineSim(args(0), args(1))))
+
+  /** Idempotent in-session registration, for sessions built without
+    * `withExtensions` (e.g. the driver's own Verify/Bench sessions).
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the scan-speed hot paths of the
+  * training-data pipeline (SURVEY.md §7.3: "promote to Expression only if
+  * codegen matters in bench" — it does: the `aggregate`/`transform`
+  * higher-order functions these replace are interpreted per element and
+  * materialize intermediate arrays, while these run one fused pass per
+  * row inside WholeStageCodegen via a static call).
+  *
+  * Each expression's semantics exactly mirror its Column-combinator twin
+  * in `ops.TextOps` / `ops.Similarity` / `ops.Dedupe`, and the DuckDB
+  * oracles validate both implementations against the same SQL.
+  */
+object Native {
+
+  /** One-pass whitespace-family token count: tokens are maximal runs of
+    * letters/digits/apostrophe — the `words()` regex of TextOps
+    * (`[^\p{L}\p{N}']+` separators) without array materialization.
+    */
+  def tokenCount(s: UTF8String): Int = {
+    val str = s.toString
+    var i = 0
+    var n = 0
+    var inTok = false
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val isTok = Character.isLetterOrDigit(cp) || cp == '\''
+      if (isTok && !inTok) n += 1
+      inTok = isTok
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** One-pass 64-bit SimHash over lowercased tokens (same tokenization as
+    * `Dedupe.simhash`'s split on non-alphanumerics; xxhash64 per token,
+    * majority vote per bit).
+    */
+  def simhash64(s: UTF8String): Long = {
+    val str = s.toString.toLowerCase
+    val votes = new Array[Int](64)
+    var nTokens = 0
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    def flush(): Unit = if (sb.length > 0) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1; b += 1 }
+      nTokens += 1
+      sb.setLength(0)
+    }
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(c) else flush()
+      i += 1
+    }
+    flush()
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) * 2 > nTokens) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Cosine similarity of two float arrays, accumulated in doubles in
+    * element order — bit-identical to the fold in `Similarity.cosine` and
+    * to the DuckDB oracle's ordered list_sum.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+}
+
+/** graft_token_count(text): codegen'd one-pass token count. */
+case class TokenCount(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    Native.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.tokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** graft_simhash64(text): codegen'd one-pass SimHash signature. */
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override protected def nullSafeEval(input: Any): Any =
+    Native.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** graft_cosine(a, b): codegen'd cosine over ARRAY<FLOAT>. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Native.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}

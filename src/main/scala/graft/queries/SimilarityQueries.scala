@@ -35,6 +35,20 @@ object SimilarityQueries {
         .filter(col("sim") >= 0.2)
     }),
 
+    // the SAME cosine scoring through the native codegen'd Expression
+    // (graft.functions.CosineSim) — same element-order double
+    // accumulation, so it matches the identical DuckDB oracle bit-exactly.
+    "q_cosine_score_native" -> ((s, dir) => {
+      graft.functions.GraftExtensions.ensure(s)
+      val q = queryVec(s, dir)
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(call_function("graft_cosine", col("embedding"),
+            array(q.map(v => lit(v)): _*)), 4).as("sim"))
+        .filter(col("sim") >= 0.2)
+    }),
+
     // brute-force top-k (rows-only: the k-th boundary is float-tie
     // sensitive across engines; SimilaritySpec pins it in-engine).
     "q_cosine_topk" -> ((s, dir) => {
@@ -73,7 +87,15 @@ object SimilarityQueries {
       |   * sqrt(list_sum(list_transform(range(1, 65),
       |      i -> CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)))))""".stripMargin
 
+  private val cosineScoreSql =
+    s"""SELECT vec_id, sim FROM (
+       |  SELECT e.vec_id, round($cosSql, 4) AS sim
+       |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0)
+       |WHERE sim >= 0.2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_cosine_score_native" -> cosineScoreSql,
     "q_cosine_score" ->
       s"""SELECT vec_id, sim FROM (
          |  SELECT e.vec_id, round($cosSql, 4) AS sim

@@ -32,6 +32,16 @@ object TextQueries {
         TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    // the SAME token count through the native codegen'd Expression
+    // (graft.functions.TokenCount) — one fused pass, no array
+    // materialization; validated against the identical DuckDB oracle.
+    "q_token_count_native" -> ((s, dir) => {
+      graft.functions.GraftExtensions.ensure(s)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("graft_token_count(text)").as("tok_ws"))
+    }),
+
     // rolling polynomial fingerprint (xxhash64-based → rows-only check;
     // stability/sensitivity asserted in TextOpsSpec).
     "q_fingerprint" -> ((s, dir) => {
@@ -55,6 +65,9 @@ object TextQueries {
     "it" -> Seq("il", "la", "di", "e", "che", "per", "con", "una", "sono", "del"))
 
   val oracles: Map[String, String] = Map(
+    "q_token_count_native" ->
+      s"""SELECT doc_id, CAST(len($wordsSql) AS INT) AS tok_ws
+         |FROM documents""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
          |  len($wordsSql) AS tok_ws,
