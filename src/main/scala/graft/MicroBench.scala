@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions
+import graft.ops.{Dedupe, Similarity, TextOps}
+
+/** Micro-benchmark: native codegen expressions vs their higher-order-
+  * function twins on a generated 2M-row corpus. Development tool backing
+  * the BENCH.md claims (`runMain graft.MicroBench`).
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.ensure(spark)
+    import spark.implicits._
+
+    val texts = spark.range(2000000L)
+      .selectExpr("id", "concat('doc ', id, ' the quick brown fox jumps over the lazy dog number ', id % 1000, ' with extra tokens for measurement purposes!') AS text")
+      .cache()
+    texts.count()
+    val vecs = spark.range(500000L)
+      .selectExpr("id", "transform(sequence(1, 64), j -> cast(pmod(hash(id, j), 1000) / 500.0 - 1.0 as float)) AS emb")
+      .cache()
+    vecs.count()
+
+    def time(name: String)(f: => Long): Unit = {
+      f // warmup
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   (checksum $n)")
+    }
+
+    time("token_count HOF") {
+      texts.select(sum(TextOps.tokenCountWs(col("text")))).head.getLong(0)
+    }
+    time("token_count native") {
+      texts.select(sum(expr("graft_token_count(text)"))).head.getLong(0)
+    }
+    // the interpreted 64-bit-x-token nested fold is orders of magnitude
+    // slower — measure it on 1% of the corpus and scale the headline
+    val sample = texts.limit(20000).cache(); sample.count()
+    time("simhash HOF (20k rows!)") {
+      sample.select(sum(Dedupe.simhash(col("text")) % 1000)).head.getLong(0)
+    }
+    time("simhash native (2M rows)") {
+      texts.select(sum(expr("graft_simhash64(text) % 1000"))).head.getLong(0)
+    }
+    time("cosine HOF") {
+      vecs.select(sum(Similarity.cosine(col("emb"), reverse(col("emb"))))).head.getDouble(0).toLong
+    }
+    time("cosine native") {
+      vecs.select(sum(expr("graft_cosine(emb, reverse(emb))"))).head.getDouble(0).toLong
+    }
+    spark.stop()
+  }
+}

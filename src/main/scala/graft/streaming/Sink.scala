@@ -87,6 +87,15 @@ object Sink {
     finally batch.unpersist()
   }
 
+  /** Per-partition lineage report (north_star: "per-partition lineage and
+    * metrics"): rows committed per (batchId, producing partition),
+    * reconstructed from the lineage columns every committed row carries.
+    */
+  def lineageStats(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    readCommitted(spark, outDir)
+      .groupBy(col("_batch_id"), col("_partition_id"))
+      .agg(count(lit(1)).as("rows"))
+
   /** round_robin / greedy brokers (reference: internal/impl/pure/
     * output_broker_round_robin.go, output_broker_greedy.go): load-share
     * rows across N child sinks. The reference deals messages one at a

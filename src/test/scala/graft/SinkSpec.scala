@@ -59,6 +59,17 @@ class SinkSpec extends SparkTestBase {
     assert(Sink.readCommitted(spark, okDir).count() == 2)
   }
 
+  test("lineageStats reports rows per (batch, producing partition)") {
+    val out = freshDir()
+    Sink.writeBatchIdempotent(out)(spark.range(12).toDF("v").repartition(3), 0L)
+    Sink.writeBatchIdempotent(out)(spark.range(5).toDF("v").repartition(2), 1L)
+    val stats = Sink.lineageStats(spark, out)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(stats.filter(_._1 == 0L).map(_._3).sum == 12)
+    assert(stats.filter(_._1 == 1L).map(_._3).sum == 5)
+    assert(stats.filter(_._1 == 0L).size == 3) // one row-group per partition
+  }
+
   test("roundRobin deals every row to exactly one child sink") {
     val outs = Seq.fill(3)(freshDir())
     val batch = spark.range(100).toDF("v")
