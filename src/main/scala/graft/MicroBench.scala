@@ -37,25 +37,25 @@ object MicroBench {
     }
 
     time("token_count HOF") {
-      texts.select(sum(TextOps.tokenCountWs(col("text")))).head.getLong(0)
+      texts.select(sum(TextOps.tokenCountWs(col("text")))).head().getLong(0)
     }
     time("token_count native") {
-      texts.select(sum(expr("graft_token_count(text)"))).head.getLong(0)
+      texts.select(sum(expr("graft_token_count(text)"))).head().getLong(0)
     }
     // the interpreted 64-bit-x-token nested fold is orders of magnitude
     // slower — measure it on 1% of the corpus and scale the headline
     val sample = texts.limit(20000).cache(); sample.count()
     time("simhash HOF (20k rows!)") {
-      sample.select(sum(Dedupe.simhash(col("text")) % 1000)).head.getLong(0)
+      sample.select(sum(Dedupe.simhash(col("text")) % 1000)).head().getLong(0)
     }
     time("simhash native (2M rows)") {
-      texts.select(sum(expr("graft_simhash64(text) % 1000"))).head.getLong(0)
+      texts.select(sum(expr("graft_simhash64(text) % 1000"))).head().getLong(0)
     }
     time("cosine HOF") {
-      vecs.select(sum(Similarity.cosine(col("emb"), reverse(col("emb"))))).head.getDouble(0).toLong
+      vecs.select(sum(Similarity.cosine(col("emb"), reverse(col("emb"))))).head().getDouble(0).toLong
     }
     time("cosine native") {
-      vecs.select(sum(expr("graft_cosine(emb, reverse(emb))"))).head.getDouble(0).toLong
+      vecs.select(sum(expr("graft_cosine(emb, reverse(emb))"))).head().getDouble(0).toLong
     }
     spark.stop()
   }

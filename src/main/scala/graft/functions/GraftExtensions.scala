@@ -30,7 +30,11 @@ object GraftExtensions {
     ("graft_simhash64", "one-pass 64-bit SimHash signature",
       args => SimHash64(args.head)),
     ("graft_cosine", "cosine similarity of two ARRAY<FLOAT> columns",
-      args => CosineSim(args(0), args(1))))
+      args => CosineSim(args(0), args(1))),
+    ("graft_minhash_sig", "one-pass MinHash signature (text, k, numHashes)",
+      args => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent in-session registration, for sessions built without
     * `withExtensions` (e.g. the driver's own Verify/Bench sessions).

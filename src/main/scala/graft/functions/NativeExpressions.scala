@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -69,6 +70,55 @@ object Native {
     sig
   }
 
+  /** One-pass MinHash signature: tokenize (lowercase, non-alphanumeric
+    * separators), form word k-shingles, and for each of `numHashes` seeded
+    * lanes take the min xxhash64 over the shingles — without materializing
+    * shingle arrays or per-lane lambda evaluations (the interpreted HOF
+    * form costs ~1000 lambda calls per document). Returns null-free
+    * ARRAY<BIGINT> of length numHashes, or null when no shingle exists.
+    */
+  def minhashSignature(s: UTF8String, k: Int, numHashes: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString.toLowerCase
+    // tokenize
+    val words = new java.util.ArrayList[String](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (Character.isLetterOrDigit(c)) sb.append(c)
+      else if (sb.length > 0) { words.add(sb.toString); sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) words.add(sb.toString)
+    val nW = words.size()
+    if (nW == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val shingle = new java.lang.StringBuilder(64)
+    var p = 0
+    val last = math.max(nW - k, 0)
+    while (p <= last) {
+      shingle.setLength(0)
+      var j = p
+      val end = math.min(p + k, nW)
+      while (j < end) {
+        if (j > p) shingle.append(' ')
+        shingle.append(words.get(j))
+        j += 1
+      }
+      val u = UTF8String.fromString(shingle.toString)
+      var lane = 0
+      while (lane < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(u, StringType, lane.toLong)
+        if (h < mins(lane)) mins(lane) = h
+        lane += 1
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Cosine similarity of two float arrays, accumulated in doubles in
     * element order — bit-identical to the fold in `Similarity.cosine` and
     * to the DuckDB oracle's ordered list_sum.
@@ -113,6 +163,36 @@ case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Native.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** graft_minhash_sig(text, k, numHashes): codegen'd one-pass MinHash
+  * signature (ARRAY<BIGINT>), null when the text has no tokens.
+  */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    Native.minhashSignature(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the function itself may return null (token-less text), so the
+    // standard defineCodeGen null contract is extended with a post-check
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.Native.minhashSignature(${childGen.value}, $k, $numHashes);
+          ${ev.isNull} = (${ev.value} == null);
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 

@@ -34,9 +34,19 @@ object Dedupe {
 
   // ------------------------------------------------------------- shingles /
 
-  /** Normalized word k-shingles of a text column. */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), "\\s+")
+  /** Normalized word tokens of a text column. */
+  def wordsOf(text: Column): Column =
+    split(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), "\\s+")
+
+  /** k-shingles over an ALREADY-BOUND words array column.
+    *
+    * Perf contract: pass a projected attribute (`.select(wordsOf(text)
+    * .as("w"))` first, then `shinglesOfWords(col("w"), k)`), never the
+    * `wordsOf` expression itself — higher-order functions are interpreted
+    * and re-evaluate their free subexpressions per element, turning the
+    * tokenizer into O(words²) per document (measured 13s → <1s on 5k docs).
+    */
+  def shinglesOfWords(words: Column, k: Int): Column = {
     val n = size(words)
     array_distinct(
       filter(
@@ -44,6 +54,11 @@ object Dedupe {
           i => array_join(slice(words, i + 1, lit(k)), " ")),
         s => length(s) > 0))
   }
+
+  /** Normalized word k-shingles straight from text — convenience form for
+    * single-pass use; hot paths should bind via `wordsOf` (see above).
+    */
+  def shingles(text: Column, k: Int): Column = shinglesOfWords(wordsOf(text), k)
 
   /** MinHash signature: for each of `numHashes` seeded permutations, the
     * minimum xxhash64 over the shingle set. Pure map-side column math —
@@ -61,6 +76,19 @@ object Dedupe {
     * carried through the shuffle (at 100 TB the banded exchange must be
     * two thin columns, not the document payload).
     */
+  /** (doc_id, shingles) with the words array bound through a projection
+    * (see `shinglesOfWords` perf contract; CollapseProject keeps the
+    * alias when it is consumed inside a lambda, so the projection split
+    * is enough — but NO filter may reference `sh`: PushDownPredicates
+    * would inline the whole shingle expression into a pre-projection
+    * Filter and pay the per-element re-evaluation there, measured 12 s on
+    * 5 k docs). Token-less docs keep an empty `sh`; they are harmless —
+    * the LSH path excludes them via the signature's null instead.
+    */
+  private def shingled(df: DataFrame, idCol: Column, text: Column, k: Int): DataFrame =
+    df.select(idCol.as("doc_id"), wordsOf(text).as("__words"))
+      .select(col("doc_id"), shinglesOfWords(col("__words"), k).as("sh"))
+
   def minhashLsh(
       df: DataFrame,
       idCol: Column,
@@ -69,9 +97,12 @@ object Dedupe {
       numHashes: Int = 20,
       bands: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    df.select(idCol.as("doc_id"), shingles(text, k).as("__shingles"))
-      .filter(size(col("__shingles")) > 0)
-      .withColumn("__sig", minhashSignature(col("__shingles"), numHashes))
+    graft.functions.GraftExtensions.ensure(df.sparkSession)
+    // native one-pass signature: the HOF form costs ~numHashes×|shingles|
+    // interpreted lambda calls per document (BENCH.md §2)
+    df.select(idCol.as("doc_id"),
+        call_function("graft_minhash_sig", text, lit(k), lit(numHashes)).as("__sig"))
+      .filter(col("__sig").isNotNull)
       .select(col("doc_id"),
         explode(
           transform(sequence(lit(0), lit(bands - 1)),
@@ -99,8 +130,7 @@ object Dedupe {
       k: Int = 5,
       numHashes: Int = 20,
       bands: Int = 5): DataFrame = {
-    val withSh = df.select(idCol.as("doc_id"), shingles(text, k).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val withSh = shingled(df, idCol, text, k)
     val banded = minhashLsh(df, idCol, text, k, numHashes, bands)
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("bucket"))

@@ -56,10 +56,13 @@ object DedupeQueries {
     }),
 
     // SimHash 64-bit signatures + Hamming distance to the neighbor doc
-    // (rows-only: xxhash64-based).
+    // (rows-only: xxhash64-based). Uses the native codegen'd expression —
+    // the interpreted 64-bit×token fold is ~3800× slower (BENCH.md §2);
+    // NativeFunctionsSpec pins their equality.
     "q_simhash" -> ((s, dir) => {
+      graft.functions.GraftExtensions.ensure(s)
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), Dedupe.simhash(col("text")).as("sig"))
+        .select(col("doc_id"), expr("graft_simhash64(text)").as("sig"))
       val nxt = docs.select((col("doc_id") - 1).as("doc_id"), col("sig").as("sig_b"))
       docs.join(nxt, Seq("doc_id"))
         .select(col("doc_id"), col("sig"),
