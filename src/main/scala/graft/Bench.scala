@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line with per-query batch timings at
   * SPARK_GRAFT_CPUS cores, plus the north_rule scaling measurement — the
   * flagship streaming session-join pipeline run on the SAME staged input
-  * at two parallelism levels (local[8] vs local[32], the sandbox proxy for
-  * N vs 4N executors), reporting turns/sec at both and scaling efficiency
+  * at two parallelism levels (N and 4N cores, the sandbox proxy for N vs
+  * 4N executors), reporting turns/sec at both and scaling efficiency
   * = (T_hi/T_lo)/(hi/lo), required ≥ 0.8 (BASELINE.json north_rule).
   */
 object Bench {
@@ -23,6 +23,8 @@ object Bench {
       // off-heap state: GC cost must not grow with session-state size
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // commit per-batch deltas instead of full snapshots
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -38,7 +40,7 @@ object Bench {
     // unsaturated region).
     val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "600000").toLong
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1200000").toLong
 
     // ---- batch query timings -------------------------------------------
     val spark = session(cpus)
@@ -65,11 +67,12 @@ object Bench {
     def measured(cores: Int): Flagship.Result = {
       val s = session(cores, parts)
       Flagship.runStaged(s, warmDir, filesPerTrigger = 8)
-      // best of 2 trials: single-JVM local[n] timing is noisy
-      val r1 = Flagship.runStaged(s, inDir, filesPerTrigger = 8)
-      val r2 = Flagship.runStaged(s, inDir, filesPerTrigger = 8)
+      // best of 2 trials: single-JVM local[n] timing on a shared VM is
+      // noisy; the ~25M-turn input keeps each run long enough to amortize
+      // the per-micro-batch serial driver work (Amdahl term, BENCH.md)
+      val trials = (1 to 2).map(_ => Flagship.runStaged(s, inDir, filesPerTrigger = 8))
       s.stop()
-      if (r1.turnsPerSec >= r2.turnsPerSec) r1 else r2
+      trials.maxBy(_.turnsPerSec)
     }
     val rLo = measured(loCores)
     val rHi = measured(hiCores)

@@ -99,6 +99,8 @@ object Flagship {
       // production choice for large stateful streaming jobs.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // commit per-batch deltas instead of full snapshots
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, nConvs, filesPerTrigger, nFiles)

@@ -52,6 +52,15 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** The native codegen'd cosine (graft.functions.CosineSim) — same fold
+    * order, bit-identical result, ~15× faster than the interpreted HOF
+    * (BENCH.md §2). Used on the hot pair-scoring paths.
+    */
+  private def cosineNative(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.GraftExtensions.ensure(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
+
   /** ANN top-k: restrict the scan to the query's LSH bucket, then exact
     * cosine inside it. At 100 TB the bucket column is a partition/cluster
     * key, so the probe prunes file scans instead of filtering rows.
@@ -62,7 +71,7 @@ object Similarity {
     val qBucketRow = bucketed.sparkSession.range(1)
       .select(lshBucket(q, bits).as("qb")).collect()(0).getLong(0)
     bucketed.filter(col("bucket") === qBucketRow)
-      .withColumn("sim", cosine(emb, q))
+      .withColumn("sim", cosineNative(df, emb, q))
       .orderBy(col("sim").desc)
       .limit(k)
       .drop("bucket")
@@ -83,7 +92,7 @@ object Similarity {
     val r = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", cosineNative(df, col("emb_a"), col("emb_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .distinct()
