@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.gen.TranscriptGen
 import graft.model.Turn
-import graft.streaming.{Metrics, SessionJoin, Sink}
+import graft.streaming.{Metrics, SessionJoin, SessionJoinTws, Sink}
 
 /** The flagship end-to-end streaming pipeline (BASELINE.json north_star):
   * transcripts stream → watermark → stateful session join of user turns to
@@ -53,8 +53,12 @@ object Flagship {
       nFiles: Int = 16, hotConvs: Int = 0): Result =
     runStaged(spark, stage(spark, nConvs, nFiles, hotConvs), filesPerTrigger)
 
-  /** Run the pipeline over an already-staged input dir. */
-  def runStaged(spark: SparkSession, inDir: String, filesPerTrigger: Int = 4): Result = {
+  /** Run the pipeline over an already-staged input dir. `engine` selects
+    * the stateful operator: "fmgws" (flatMapGroupsWithState) or "tws"
+    * (transformWithState with incremental ListState — see SessionJoinTws).
+    */
+  def runStaged(spark: SparkSession, inDir: String, filesPerTrigger: Int = 4,
+      engine: String = "fmgws"): Result = {
     import spark.implicits._
     val work = graft.util.Tmp.dir("flagship-run")
     val metrics = Metrics.install(spark)
@@ -64,7 +68,10 @@ object Flagship {
       .parquet(inDir)
       .as[Turn]
 
-    val paired = SessionJoin.pairStreaming(turns, SessionJoin.DefaultGapSeconds, "10 minutes")
+    val paired = engine match {
+      case "tws" => SessionJoinTws.pairStreaming(turns, SessionJoin.DefaultGapSeconds, "10 minutes")
+      case _ => SessionJoin.pairStreaming(turns, SessionJoin.DefaultGapSeconds, "10 minutes")
+    }
 
     val t0 = System.nanoTime()
     val q = Sink.exactlyOnce(paired, s"$work/out", s"$work/ck", Trigger.AvailableNow()).start()
@@ -87,6 +94,7 @@ object Flagship {
     val filesPerTrigger = if (args.length > 2) args(2).toInt else 4
     val nFiles = if (args.length > 3) args(3).toInt else 16
     val parts = if (args.length > 4) args(4) else cores
+    val engine = if (args.length > 5) args(5) else "fmgws"
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-flagship")
@@ -103,7 +111,7 @@ object Flagship {
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, nConvs, filesPerTrigger, nFiles)
+    val r = runStaged(spark, stage(spark, nConvs, nFiles), filesPerTrigger, engine)
     println(f"""{"turns":${r.turns},"pairs":${r.pairs},"elapsed_sec":${r.elapsedSec}%.2f,""" +
       f""""turns_per_sec":${r.turnsPerSec}%.0f,"p99_latency_ms":${r.p99LatencyMs},""" +
       f""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes}}""")
