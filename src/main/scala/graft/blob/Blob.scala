@@ -245,5 +245,41 @@ object Blob {
   def parseXml(c: Column, schemaDdl: String): Column =
     from_xml(c, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
 
+  /** Recursive JSON walk applying a transform to every string leaf — the
+    * named-map recursion pattern of the reference corpus
+    * (config/test/bloblang/walk_json.yaml: `map unescape_values` applied
+    * through objects/arrays). Dynamic JSON trees have no static Catalyst
+    * schema, so this is a Jackson UDF; non-JSON input is treated as a
+    * bare string leaf, like Bloblang's `this.or(content())`. // UDF
+    */
+  def jsonWalkStrings(c: Column, f: String => String): Column = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+    val udfWalk = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val mapper = new ObjectMapper()
+        def walk(n: JsonNode): JsonNode = n match {
+          case o: ObjectNode =>
+            val out = mapper.createObjectNode()
+            o.properties().forEach(e => out.set[JsonNode](e.getKey, walk(e.getValue)): Unit)
+            out
+          case a: ArrayNode =>
+            val out = mapper.createArrayNode()
+            a.forEach(e => out.add(walk(e)): Unit)
+            out
+          case t: TextNode => new TextNode(f(t.textValue()))
+          case other => other
+        }
+        val trimmed = s.trim
+        if (trimmed.startsWith("{") || trimmed.startsWith("[")) {
+          try mapper.writeValueAsString(walk(mapper.readTree(s)))
+          catch { case _: Exception => f(s) }
+        } else f(s) // bare string payload
+      }
+    }
+    udfWalk(c)
+  }
+
   private def forceStr(c: Column): Column = c.cast("string")
 }
