@@ -79,9 +79,24 @@ object WindowQueries {
     // → watermark → flatMapGroupsWithState → exactly-once sink → read back
     // committed batches. The oracle is identical to q_session_join's —
     // streaming output must equal the batch/DuckDB result row-for-row.
-    "q_stream_session_join" -> ((s, dir) => streamSessionJoin(s, dir)))
+    "q_stream_session_join" -> ((s, dir) => streamSessionJoin(s, dir)),
 
-  private def streamSessionJoin(s: SparkSession, dir: String): DataFrame = {
+    // tumbling aggregation through the streaming engine (watermarked
+    // groupBy(window) in Append mode, finalized windows only) — must
+    // match q_tumbling_agg's DuckDB oracle row-for-row.
+    "q_stream_tumbling_agg" -> ((s, dir) => streamTumblingAgg(s, dir)))
+
+  /** Stage the derived transcripts as a file stream, run `pipeline` to an
+    * exactly-once sink across three AvailableNow phases (ingest; sentinel
+    * turn far enough ahead that the watermark passes everything; one more
+    * cycle so event-time state flushes), and return the committed rows
+    * minus the sentinel's.
+    */
+  private def replayStreamed(
+      s: SparkSession,
+      dir: String,
+      sentinelConv: String,
+      pipeline: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val batch = Tables.transcripts(s, dir)
     val work = graft.util.Tmp.dir("qstream")
@@ -89,30 +104,46 @@ object WindowQueries {
     batch.orderBy(col("ts")).coalesce(8).write.parquet(inDir)
     val schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
     def turnsStream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 3).parquet(inDir).as[Turn]
-    // Watermark delay > the whole data span: file-arrival order is not
-    // guaranteed to follow event time, so nothing may be dropped as late
-    // here (the late-drop semantics are exercised by SessionJoinSpec).
-    val delay = "40 days"
+      .option("maxFilesPerTrigger", 3).parquet(inDir)
     def runOnce(): Unit = {
-      val q = Sink.exactlyOnce(
-        SessionJoin.pairStreaming(turnsStream, GapSeconds, delay),
+      val q = Sink.exactlyOnce(pipeline(turnsStream),
         s"$work/out", s"$work/ck", Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    runOnce() // phase 1: ingest + buffer state across micro-batches
-    // phase 2: a sentinel turn far enough ahead that the watermark
-    // (sentinel ts - delay) passes every open session's end
+    runOnce()
     val maxSec = batch.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
     val sentinelTs = new java.sql.Timestamp(
       (maxSec + 40L * 86400 + GapSeconds + 86400) * 1000)
-    Seq(Turn("zzz-sentinel", 0, "user", "sentinel", null, sentinelTs)).toDS()
+    Seq(Turn(sentinelConv, 0, "user", "sentinel", null, sentinelTs)).toDS()
       .coalesce(1).write.mode("append").parquet(inDir)
-    runOnce() // processes sentinel, advances watermark
-    runOnce() // timeout fires -> buffered sessions flush
+    runOnce()
+    runOnce()
     Sink.readCommitted(s, s"$work/out")
-      .filter(col("conv_id") =!= "zzz-sentinel")
+      .filter(col("conv_id") =!= sentinelConv)
       .drop("_batch_id", "_partition_id")
+  }
+
+  private def streamTumblingAgg(s: SparkSession, dir: String): DataFrame =
+    replayStreamed(s, dir, "zzz-sentinel", { stream =>
+      // watermark delay spans the data so file-arrival order can't drop
+      // rows as late (same reasoning as the session join's oracle run)
+      stream.withWatermark("ts", "40 days")
+        .groupBy(col("conv_id"), window(col("ts"), "1 hour"))
+        .agg(
+          count(lit(1)).as("n_turns"),
+          count(col("tool")).as("n_tool_turns"),
+          sum(length(col("text"))).as("sum_chars"))
+        .select(col("conv_id"), unix_timestamp(col("window.start")).as("window_start"),
+          col("n_turns"), col("n_tool_turns"), col("sum_chars"))
+    })
+
+  private def streamSessionJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Watermark delay > the whole data span: file-arrival order is not
+    // guaranteed to follow event time, so nothing may be dropped as late
+    // here (the late-drop semantics are exercised by SessionJoinSpec).
+    replayStreamed(s, dir, "zzz-sentinel",
+      stream => SessionJoin.pairStreaming(stream.as[Turn], GapSeconds, "40 days").toDF())
   }
 
   private def sessionedCte(gap: Long): String =
@@ -165,6 +196,12 @@ object WindowQueries {
         |  sum(length(text)) AS sum_chars
         |FROM sessioned GROUP BY 1, 2""".stripMargin),
     "q_session_join" -> sessionJoinSql,
-    "q_stream_session_join" -> sessionJoinSql
+    "q_stream_session_join" -> sessionJoinSql,
+    "q_stream_tumbling_agg" -> (T +
+      """SELECT conv_id,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  count(*) AS n_turns, count(tool) AS n_tool_turns,
+        |  sum(length(text)) AS sum_chars
+        |FROM transcripts GROUP BY 1, 2""".stripMargin)
   )
 }
