@@ -68,6 +68,20 @@ object WindowQueries {
           sum(length(col("text"))).as("sum_chars"))
     }),
 
+    // Spark's NATIVE session_window operator (merge-on-overlap semantics:
+    // strict `diff < gap` keeps a session alive, vs sessionize's
+    // floor-second `diff <= gap` — the oracle mirrors the native rule on
+    // exact microsecond timestamps).
+    "q_session_window_native" -> ((s, dir) => {
+      Tables.transcripts(s, dir)
+        .groupBy(col("conv_id"), session_window(col("ts"), s"$GapSeconds seconds"))
+        .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("sum_chars"))
+        .select(col("conv_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_turns"), col("sum_chars"))
+    }),
+
     // the flagship join, batch window-function form: each assistant/tool
     // turn paired with the latest preceding user turn in its session
     // (reference pattern: config/examples/joining_streams.yaml:23-56).
@@ -195,6 +209,18 @@ object WindowQueries {
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  sum(length(text)) AS sum_chars
         |FROM sessioned GROUP BY 1, 2""".stripMargin),
+    "q_session_window_native" -> (T.stripSuffix("\n") +
+      s""", sessioned AS (
+         |  SELECT *, sum(CASE WHEN prev_ts IS NULL
+         |      OR epoch(ts) - epoch(prev_ts) >= $GapSeconds THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM (SELECT *, lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |        FROM transcripts))
+         |SELECT conv_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL $GapSeconds SECONDS AS session_end,
+         |  count(*) AS n_turns, sum(length(text)) AS sum_chars
+         |FROM sessioned GROUP BY conv_id, sid""".stripMargin),
     "q_session_join" -> sessionJoinSql,
     "q_stream_session_join" -> sessionJoinSql,
     "q_stream_tumbling_agg" -> (T +
