@@ -77,6 +77,66 @@ object Similarity {
       .drop("bucket")
   }
 
+  /** IVF (inverted-file) ANN: a deterministic sample of the corpus acts
+    * as the coarse centroid set; every vector is assigned to its nearest
+    * centroid (one broadcast pass — at 100 TB the assignment becomes the
+    * table's cluster/partition key), and a query probes only the
+    * `nProbe` centroids nearest to it, scanning those cells exactly.
+    * Compared to LSH buckets this gives a tunable recall/scan-fraction
+    * knob with data-adaptive cells.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: Column,
+      emb: Column,
+      query: Seq[Float],
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftExtensions.ensure(spark)
+    val named = df.select(idCol.as("id"), emb.as("emb"))
+    // deterministic coarse centroids: every (n/nCells)-th vector in id
+    // order (at real scale: a driver-side sample; here exact and seeded)
+    val n = named.count()
+    val step = math.max(1L, n / nCells)
+    val cembs = named
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      .filter((col("__rn") - 1) % step === 0)
+      .limit(nCells)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Float](0)).zipWithIndex
+      .map { case (e, i) => (i + 1, e) }.toSeq
+    def cellOf(v: Column): Column = {
+      // argmax cosine over the broadcast centroid set — a fold over
+      // literal centroid arrays, codegen'd via the native cosine
+      val scored = cembs.map { case (cell, ce) =>
+        struct(call_function("graft_cosine", v,
+          array(ce.map(x => lit(x)): _*)).as("sim"), lit(cell).as("cell"))
+      }
+      val best = scored.reduceLeft { (a, b) =>
+        when(b.getField("sim") > a.getField("sim"), b).otherwise(a)
+      }
+      best.getField("cell")
+    }
+    val assigned = named.withColumn("cell", cellOf(col("emb")))
+    val qArr = array(query.map(v => lit(v)): _*)
+    val probeCells = cembs
+      .map { case (cell, ce) =>
+        val d = ce.zip(query).map { case (x, y) => x.toDouble * y }.sum
+        val n1 = math.sqrt(ce.map(x => x.toDouble * x).sum)
+        val n2 = math.sqrt(query.map(x => x.toDouble * x).sum)
+        (cell, if (n1 * n2 == 0) 0.0 else d / (n1 * n2))
+      }
+      .sortBy(-_._2).take(nProbe).map(_._1)
+    assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .withColumn("sim", call_function("graft_cosine", col("emb"), qArr))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     * so the quadratic blowup is confined to buckets.
     */

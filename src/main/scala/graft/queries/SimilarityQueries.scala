@@ -68,6 +68,16 @@ object SimilarityQueries {
         .select(col("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // IVF ANN: deterministic coarse centroids, nProbe nearest cells
+    // scanned exactly (rows-only; full-probe == brute-force equivalence
+    // asserted in SimilaritySpec).
+    "q_ivf_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      Similarity.ivfTopK(Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), q, k = 20, nCells = 16, nProbe = 4)
+        .select(col("id").as("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     // embedding near-dup pairs, LSH-bucketed (rows-only).
     "q_cosine_dup_pairs" -> ((s, dir) => {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), col("vec_id"),

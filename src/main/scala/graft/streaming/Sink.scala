@@ -110,6 +110,27 @@ object Sink {
     finally batch.unpersist(): Unit
   }
 
+  /** retry output wrapper (reference: internal/impl/pure/output_retry.go):
+    * re-attempt the child sink with exponential backoff until it succeeds
+    * or attempts are exhausted. Safe to combine with the idempotent
+    * committer — a retried batch that already committed is a no-op.
+    */
+  def retry(
+      sink: (DataFrame, Long) => Unit,
+      maxAttempts: Int = 3,
+      backoffMs: Long = 50)(batch: DataFrame, batchId: Long): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try { sink(batch, batchId); done = true }
+      catch {
+        case e: Throwable if attempt < maxAttempts =>
+          Thread.sleep(backoffMs * (1L << (attempt - 1)))
+      }
+    }
+  }
+
   /** fallback/try broker (internal/impl/pure/output_fallback.go): attempt
     * sinks in order until one succeeds.
     */

@@ -66,6 +66,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(x => x >= 0 && x < 64))
   }
 
+  test("IVF probe finds the planted duplicate and ranks like brute force") {
+    val rnd = new scala.util.Random(17)
+    val target = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+    val noise = (1 to 300).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = (noise :+ (999L, target)).toDF("id", "emb")
+    val got = Similarity.ivfTopK(df, col("id"), col("emb"), target, k = 1,
+      nCells = 8, nProbe = 3).select("id").as[Long].collect()
+    // the duplicate's cell is by construction the query's top probe cell
+    assert(got.headOption.contains(999L))
+    // probing ALL cells must equal brute force exactly
+    val all = Similarity.ivfTopK(df, col("id"), col("emb"), target, k = 5,
+      nCells = 8, nProbe = 8).select("id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(df, col("emb"), target, 5)
+      .select("id").as[Long].collect().toSeq
+    assert(all.toSet == brute.toSet)
+  }
+
   test("cosineDupPairs reports planted duplicates above threshold") {
     val rnd = new scala.util.Random(29)
     val v = Seq.fill(12)(rnd.nextFloat() - 0.5f)

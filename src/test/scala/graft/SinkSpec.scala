@@ -82,6 +82,20 @@ class SinkSpec extends SparkTestBase {
     assert(union.count() == 100) // no row dealt twice
   }
 
+  test("retry re-attempts with backoff until the child sink succeeds") {
+    val out = freshDir()
+    var failures = 2
+    Sink.retry({ (b, id) =>
+      if (failures > 0) { failures -= 1; throw new RuntimeException("flaky") }
+      Sink.writeBatchIdempotent(out)(b, id)
+    }, maxAttempts = 5, backoffMs = 1)(Seq(1, 2).toDF("v"), 0L)
+    assert(Sink.readCommitted(spark, out).count() == 2)
+    intercept[RuntimeException] {
+      Sink.retry((_, _) => throw new RuntimeException("always"),
+        maxAttempts = 2, backoffMs = 1)(Seq(1).toDF("v"), 0L)
+    }
+  }
+
   test("fallback rethrows when every sink fails") {
     intercept[RuntimeException] {
       Sink.fallback(Seq((_, _) => throw new RuntimeException("a")))(Seq(1).toDF("v"), 0L)
