@@ -86,6 +86,22 @@ object TransformQueries {
         Blob.trim_(Blob.replaceAll(col("text"), "the", "-")).substr(1, 20).as("repl20"))
     }),
 
+    // Scalar surface, part 2: timestamp formatting + the structured
+    // (array) method family from SURVEY §2.6 (sort, slice, unique,
+    // reverse, fold/sum, join), all through Blob combinators.
+    "q_blob_scalars2" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      Tables.transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        Blob.formatTimestamp(col("ts"), "yyyy-MM-dd").as("day"),
+        Blob.formatTimestampUnix(date_trunc("hour", col("ts"))).as("hour_unix"),
+        Blob.joinArr(Blob.sortArr(words), ",").as("words_sorted"),
+        Blob.joinArr(Blob.slice(words, 0, 3), " ").as("first3"),
+        Blob.length_(Blob.unique(words)).as("n_uniq"),
+        Blob.sum_(transform(words, w => length(w))).cast("long").as("chars_sum"),
+        Blob.joinArr(reverse(words), " ").as("rev_words"))
+    }),
+
     // try/catch error routing (reference: internal/old/processor/try.go:83-153,
     // catch.go:120-152 — catch clears the error flag after handling).
     "q_try_catch" -> ((s, dir) => {
@@ -145,6 +161,16 @@ object TransformQueries {
         |  string_split(text, ' ')[1] AS first_word,
         |  substr(trim(replace(text, 'the', '-')), 1, 20) AS repl20
         |FROM documents""".stripMargin,
+    "q_blob_scalars2" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix,
+        |  array_to_string(list_sort(string_split(text, ' ')), ',') AS words_sorted,
+        |  array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '), w -> len(w))), 0) AS BIGINT) AS chars_sum,
+        |  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS rev_words
+        |FROM transcripts""".stripMargin),
     "q_try_catch" -> (T +
       """SELECT conv_id, turn_idx,
         |  CASE WHEN length(text) > 60 THEN 'REDACTED' ELSE upper(text) END AS text_out,
