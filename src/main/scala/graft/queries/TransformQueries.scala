@@ -102,6 +102,25 @@ object TransformQueries {
         Blob.joinArr(reverse(words), " ").as("rev_words"))
     }),
 
+    // metadata map plumbing (SURVEY §1.3: Part.metadata → MAP<STRING,
+    // STRING> column; reference internal/message/part.go:209-245): build,
+    // overlay (meta set wins), read back.
+    "q_meta_map" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+        .withColumn("meta", map(
+          lit("source"), lit("events"),
+          lit("role"), col("role"),
+          lit("idx"), col("turn_idx").cast("string")))
+        .withColumn("meta", map_concat(
+          map_filter(col("meta"), (k, _) => k =!= "role"),
+          map(lit("role"), upper(col("role"))))) // overlay wins
+      df.select(col("conv_id"), col("turn_idx"),
+        Blob.meta(col("meta"), "source").as("m_source"),
+        Blob.meta(col("meta"), "role").as("m_role"),
+        Blob.meta(col("meta"), "idx").as("m_idx"),
+        size(Blob.keys(col("meta"))).as("n_keys"))
+    }),
+
     // try/catch error routing (reference: internal/old/processor/try.go:83-153,
     // catch.go:120-152 — catch clears the error flag after handling).
     "q_try_catch" -> ((s, dir) => {
@@ -170,6 +189,13 @@ object TransformQueries {
         |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
         |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '), w -> len(w))), 0) AS BIGINT) AS chars_sum,
         |  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS rev_words
+        |FROM transcripts""".stripMargin),
+    "q_meta_map" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  'events' AS m_source,
+        |  upper(role) AS m_role,
+        |  CAST(turn_idx AS VARCHAR) AS m_idx,
+        |  3 AS n_keys
         |FROM transcripts""".stripMargin),
     "q_try_catch" -> (T +
       """SELECT conv_id, turn_idx,
