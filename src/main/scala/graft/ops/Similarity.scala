@@ -109,16 +109,16 @@ object Similarity {
       .map(_.getSeq[Float](0)).zipWithIndex
       .map { case (e, i) => (i + 1, e) }.toSeq
     def cellOf(v: Column): Column = {
-      // argmax cosine over the broadcast centroid set — a fold over
-      // literal centroid arrays, codegen'd via the native cosine
+      // argmax cosine over the broadcast centroid set. NOTE: a
+      // `reduceLeft(when(b > a, b).otherwise(a))` here duplicates `a` per
+      // step — an O(2^nCells) expression tree (measured: 170 MB task
+      // binaries + codegen blowup at 16 cells). array_max over
+      // (sim, cell) structs is linear and compares lexicographically.
       val scored = cembs.map { case (cell, ce) =>
         struct(call_function("graft_cosine", v,
           array(ce.map(x => lit(x)): _*)).as("sim"), lit(cell).as("cell"))
       }
-      val best = scored.reduceLeft { (a, b) =>
-        when(b.getField("sim") > a.getField("sim"), b).otherwise(a)
-      }
-      best.getField("cell")
+      array_max(array(scored: _*)).getField("cell")
     }
     val assigned = named.withColumn("cell", cellOf(col("emb")))
     val qArr = array(query.map(v => lit(v)): _*)
