@@ -62,7 +62,7 @@ object SparkEntry {
       (T + """SELECT conv_id, count(*) AS n_turns,
         |  count(DISTINCT tool) AS n_tools,
         |  max(turn_idx) AS max_idx,
-        |  sum(length(text)) AS sum_chars
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM transcripts GROUP BY 1""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -91,7 +91,7 @@ object GroupQueries {
 
   val oracles: Map[String, String] = Map(
     "q_group_by" -> (T +
-      """SELECT g AS "group", count(*) AS n, sum(length(text)) AS sum_chars
+      """SELECT g AS "group", count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM (SELECT *, CASE WHEN role = 'tool' THEN 'tools'
         |                     WHEN turn_idx = 0 THEN 'openers'
         |                     WHEN length(text) > 50 THEN 'long' END AS g
@@ -114,7 +114,7 @@ object GroupQueries {
         |  SELECT *, count(*) OVER (PARTITION BY conv_id) AS n FROM transcripts)
         |WHERE n BETWEEN 5 AND 60 AND length(text) BETWEEN 10 AND 200""".stripMargin),
     "q_reduce_batch" -> (T +
-      """SELECT conv_id, sum(length(text)) AS "sum", max(length(text)) AS "max",
+      """SELECT conv_id, CAST(sum(length(text)) AS BIGINT) AS "sum", max(length(text)) AS "max",
         |  min(length(text)) AS "min", count(*) AS n
         |FROM transcripts GROUP BY 1""".stripMargin),
     "q_insert_part" -> (T +

@@ -84,9 +84,9 @@ object JoinQueries {
 
   private val sidesCte: String =
     T.stripSuffix("\n") +
-      """, u AS (SELECT conv_id, count(*) AS n, sum(length(text)) AS sum_chars
+      """, u AS (SELECT conv_id, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |        FROM transcripts WHERE role = 'user' GROUP BY 1),
-        |  a AS (SELECT conv_id, count(*) AS n, sum(length(text)) AS sum_chars
+        |  a AS (SELECT conv_id, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |        FROM transcripts WHERE role = 'assistant' GROUP BY 1)
         |""".stripMargin
 

@@ -71,9 +71,9 @@ object TextQueries {
     "q_token_count" ->
       s"""SELECT doc_id,
          |  len($wordsSql) AS tok_ws,
-         |  coalesce(list_sum(list_transform(
+         |  CAST(coalesce(list_sum(list_transform(
          |    list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0),
-         |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS tok_bpe
+         |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS tok_bpe
          |FROM documents""".stripMargin,
     "q_lang_id" -> {
       val hitCols = lex.map { case (l, st) => s"${hitsSql(st)} AS h_$l" }.mkString(",\n  ")

@@ -169,13 +169,16 @@ object WindowQueries {
       stream => SessionJoin.pairStreaming(stream.as[Turn], GapSeconds, "40 days").toDF())
   }
 
+  // NOTE: the window-sum is CAST to BIGINT — DuckDB sum() over integers
+  // yields HUGEINT, which the driver's canonicalizer hashes differently
+  // from Spark's BIGINT (VERDICT r1 §wrong-1).
   private def sessionedCte(gap: Long): String =
     s"""sessioned AS (
-       |  SELECT *, sum(CASE WHEN prev_ts IS NULL
+       |  SELECT *, CAST(sum(CASE WHEN prev_ts IS NULL
        |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > $gap
        |      THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
        |        FROM transcripts))
        |""".stripMargin
@@ -201,12 +204,12 @@ object WindowQueries {
       """SELECT conv_id,
         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  count(*) AS n_turns, count(tool) AS n_tool_turns,
-        |  sum(length(text)) AS sum_chars
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM transcripts GROUP BY 1, 2""".stripMargin),
     "q_sliding_agg" -> (T +
       """SELECT conv_id,
         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - off AS window_start,
-        |  count(*) AS n_turns, sum(length(text)) AS sum_chars
+        |  count(*) AS n_turns, CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM transcripts CROSS JOIN (SELECT unnest([0, 3600]) AS off)
         |GROUP BY 1, 2""".stripMargin),
     "q_window_end_stamp" -> (T +
@@ -216,7 +219,7 @@ object WindowQueries {
     "q_session_agg" -> (T.stripSuffix("\n") + ", " + sessionedCte(GapSeconds) +
       """SELECT conv_id, session_id, count(*) AS n_turns,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  sum(length(text)) AS sum_chars
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM sessioned GROUP BY 1, 2""".stripMargin),
     "q_session_window_native" -> (T.stripSuffix("\n") +
       s""", sessioned AS (
@@ -228,7 +231,7 @@ object WindowQueries {
          |        FROM transcripts))
          |SELECT conv_id, min(ts) AS session_start,
          |  max(ts) + INTERVAL $GapSeconds SECONDS AS session_end,
-         |  count(*) AS n_turns, sum(length(text)) AS sum_chars
+         |  count(*) AS n_turns, CAST(sum(length(text)) AS BIGINT) AS sum_chars
          |FROM sessioned GROUP BY conv_id, sid""".stripMargin),
     "q_session_join" -> sessionJoinSql,
     "q_stream_session_join" -> sessionJoinSql,
@@ -237,7 +240,7 @@ object WindowQueries {
       """SELECT conv_id,
         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  count(*) AS n_turns, count(tool) AS n_tool_turns,
-        |  sum(length(text)) AS sum_chars
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM transcripts GROUP BY 1, 2""".stripMargin)
   )
 }

@@ -9,6 +9,7 @@ tables in <sfDir>, and compares: row count, column names (sorted), and a hash
 of the sorted rows with columns sorted by name.
 """
 import json, sys, math, hashlib
+from decimal import Decimal
 from pathlib import Path
 
 import duckdb
@@ -17,9 +18,20 @@ import duckdb
 def canon(v):
     if v is None:
         return "NULL"
+    # Integer-valued values render as integers no matter how they arrive
+    # (int, Decimal, float) — DuckDB HUGEINT can surface as Decimal/float
+    # depending on the fetch path, which burned round 1's driver compare.
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, Decimal):
+        if v == v.to_integral_value():
+            return str(int(v))
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v.is_integer() and abs(v) < 2**53:
+            return str(int(v))
         return f"{v:.10g}"
     if isinstance(v, bytes):
         return v.hex()
@@ -54,10 +66,21 @@ def main():
             f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchall()
         gcols = [d[0] for d in con.description]
         try:
-            exp = con.execute(oracle[name]).fetchall()
-            ecols = [d[0] for d in con.description]
+            rel = con.sql(oracle[name])
+            ecols = list(rel.columns)
+            etypes = [str(t) for t in rel.types]
+            exp = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        # The driver's canonicalizer renders DuckDB HUGEINT differently from
+        # Spark BIGINT (r1 postmortem: 15 hash fails). Reject it here so the
+        # replica can never be greener than the driver.
+        huge = [c for c, t in zip(ecols, etypes) if "HUGEINT" in t.upper()]
+        if huge:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                  f"CAST(... AS BIGINT) in the oracle SQL")
             n_fail += 1
             continue
         if sorted(gcols) != sorted(ecols):
