@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: one JSON line with per-query batch timings at
   * SPARK_GRAFT_CPUS cores, plus the north_rule scaling measurement — the
@@ -8,6 +8,18 @@ import org.apache.spark.sql.SparkSession
   * at two parallelism levels (N and 4N cores, the sandbox proxy for N vs
   * 4N executors), reporting turns/sec at both and scaling efficiency
   * = (T_hi/T_lo)/(hi/lo), required ≥ 0.8 (BASELINE.json north_rule).
+  *
+  * Methodology notes (BENCH.md §1):
+  *  - every trial of every level is logged to stderr so a single reported
+  *    number can be judged against the run-to-run spread;
+  *  - the reported per-level number is the MEDIAN of SPARK_GRAFT_TRIALS
+  *    trials (single-JVM timing on a shared VM is ±20% noisy);
+  *  - micro-batch count is kept small (staged files / filesPerTrigger) so
+  *    the per-batch serial driver work (planning, offset/commit log,
+  *    sink-job commit — the Amdahl term measured at ~3s/batch in round 1)
+  *    doesn't dominate the high-core run;
+  *  - data layout and shuffle/state partitioning are IDENTICAL across
+  *    levels (a cluster resize changes executors, not partitioning).
   */
 object Bench {
 
@@ -30,6 +42,14 @@ object Bench {
     s
   }
 
+  /** Force full evaluation of every expression in the plan: `count()`
+    * lets Catalyst prune unreferenced projections, so pure-projection
+    * queries would be timed as bare parquet scans (round-1 verdict §3).
+    * Iterating the UnsafeRow RDD materializes every output column.
+    */
+  private def exhaust(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -38,20 +58,27 @@ object Bench {
     // on a real cluster 4N executors adds 4x bandwidth, in one JVM the
     // cores share a single memory bus, so the scaling evidence uses the
     // unsaturated region).
-    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
-    val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1200000").toLong
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "1").toInt
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "4").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1500000").toLong
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "32").toInt
+    val fpt = sys.env.getOrElse("SPARK_GRAFT_FPT", "16").toInt
+    val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    val scalingOnly = sys.env.contains("SPARK_GRAFT_SCALING_ONLY")
 
     // ---- batch query timings -------------------------------------------
-    val spark = session(cpus)
-    // absorb JVM/codegen warmup so the first measured query isn't penalized
-    spark.range(10000000L).selectExpr("sum(id * 2)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Double)] = if (scalingOnly) Seq.empty else {
+      val spark = session(cpus)
+      // absorb JVM/codegen warmup so the first measured query isn't penalized
+      spark.range(10000000L).selectExpr("sum(id * 2)").collect()
+      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      rs
     }
-    spark.stop()
 
     // ---- scaling: same staged input, two parallelism levels ------------
     // The experiment mirrors a cluster resize: the DATA LAYOUT and shuffle
@@ -60,22 +87,35 @@ object Bench {
     // only the core count changes. Each session gets a warmup pass on a
     // small staged stream so codegen/state-store init is excluded.
     val parts = 2 * hiCores
-    val sGen = session(hiCores)
-    val warmDir = Flagship.stage(sGen, 2000L, nFiles = 32)
-    val inDir = Flagship.stage(sGen, nConvs, nFiles = 32)
+    val sGen = session(cpus)
+    val warmDir = Flagship.stage(sGen, 2000L, nFiles = fpt)
+    val inDir = Flagship.stage(sGen, nConvs, nFiles = nFiles)
     sGen.stop()
-    def measured(cores: Int): Flagship.Result = {
+
+    // ---- headline flagship throughput at full node width ----------------
+    // (the single-node sustained-turns/sec + p99 figure; the scaling
+    // evidence below deliberately runs in the UNSATURATED core range)
+    val sFull = session(cpus, 2 * cpus)
+    Flagship.runStaged(sFull, warmDir, filesPerTrigger = fpt)
+    val rFull = Flagship.runStaged(sFull, inDir, filesPerTrigger = fpt)
+    sFull.stop()
+    System.err.println(
+      f"[bench] flagship cores=$cpus turns_per_sec=${rFull.turnsPerSec}%.0f p99=${rFull.p99LatencyMs}ms")
+    def measured(cores: Int): (Flagship.Result, Seq[Double]) = {
       val s = session(cores, parts)
-      Flagship.runStaged(s, warmDir, filesPerTrigger = 8)
-      // best of 2 trials: single-JVM local[n] timing on a shared VM is
-      // noisy; the ~25M-turn input keeps each run long enough to amortize
-      // the per-micro-batch serial driver work (Amdahl term, BENCH.md)
-      val trials = (1 to 2).map(_ => Flagship.runStaged(s, inDir, filesPerTrigger = 8))
+      Flagship.runStaged(s, warmDir, filesPerTrigger = fpt)
+      val trials = (1 to nTrials).map { i =>
+        val r = Flagship.runStaged(s, inDir, filesPerTrigger = fpt)
+        System.err.println(
+          f"[bench] scaling trial cores=$cores trial=$i turns_per_sec=${r.turnsPerSec}%.0f elapsed=${r.elapsedSec}%.1fs")
+        r
+      }
       s.stop()
-      trials.maxBy(_.turnsPerSec)
+      // median by throughput: robust to the shared VM's co-tenant spikes
+      (trials.sortBy(_.turnsPerSec).apply(nTrials / 2), trials.map(_.turnsPerSec))
     }
-    val rLo = measured(loCores)
-    val rHi = measured(hiCores)
+    val (rLo, trialsLo) = measured(loCores)
+    val (rHi, trialsHi) = measured(hiCores)
     graft.util.Tmp.delete(warmDir)
     graft.util.Tmp.delete(inDir)
     val efficiency = (rHi.turnsPerSec / rLo.turnsPerSec) / (hiCores.toDouble / loCores)
@@ -84,14 +124,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fs(ds: Seq[Double]): String = ds.map(f).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""flagship":{"turns":${rHi.turns},"pairs":${rHi.pairs},""" +
-        s""""p99_latency_ms":${rHi.p99LatencyMs},"max_state_rows":${rHi.maxStateRows},""" +
-        s""""max_state_bytes":${rHi.maxStateBytes}},""" +
+        s""""flagship":{"cores":$cpus,"turns":${rFull.turns},"pairs":${rFull.pairs},""" +
+        s""""turns_per_sec":${f(rFull.turnsPerSec)},""" +
+        s""""p99_latency_ms":${rFull.p99LatencyMs},"max_state_rows":${rFull.maxStateRows},""" +
+        s""""max_state_bytes":${rFull.maxStateBytes}},""" +
         s""""scaling":{"cores_lo":$loCores,"cores_hi":$hiCores,""" +
         s""""turns_per_sec_lo":${f(rLo.turnsPerSec)},"turns_per_sec_hi":${f(rHi.turnsPerSec)},""" +
         s""""elapsed_lo_sec":${f(rLo.elapsedSec)},"elapsed_hi_sec":${f(rHi.elapsedSec)},""" +
+        s""""trials_lo":${fs(trialsLo)},"trials_hi":${fs(trialsHi)},""" +
         s""""efficiency":${f(efficiency)}}}""")
   }
 }

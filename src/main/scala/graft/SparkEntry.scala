@@ -29,12 +29,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     base ++ TransformQueries.queries ++ GroupQueries.queries ++
       WindowQueries.queries ++ JoinQueries.queries ++ DedupeQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
+      CacheQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracles ++ TransformQueries.oracles ++ GroupQueries.oracles ++
       WindowQueries.oracles ++ JoinQueries.oracles ++ DedupeQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
+      CacheQueries.oracles
 
   /** §2.7 group_by_value + the TPC-H pricing summary (plain hash aggs). */
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(

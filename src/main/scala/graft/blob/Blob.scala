@@ -47,6 +47,13 @@ object Blob {
     // Bloblang range is exclusive of stop; Spark sequence is inclusive.
     sequence(start, stop - when(step > 0, lit(1)).otherwise(lit(-1)), step)
   def nowTs(): Column = current_timestamp()
+  /** env(name) (functions.go:268): resolved at plan time — configuration,
+    * not data. The map form backs the declarative test harness's
+    * `environment` blocks; the no-arg form reads the JVM's environment.
+    */
+  def envFn(name: String, environment: Map[String, String]): Column =
+    lit(environment.get(name).orNull).cast("string")
+  def envFn(name: String): Column = envFn(name, sys.env)
   def timestampUnix(ts: Column): Column = unix_timestamp(ts)
   def randomInt(seed: Long, maxExclusive: Long): Column =
     floor(rand(seed) * lit(maxExclusive)).cast("long")
@@ -106,6 +113,29 @@ object Blob {
     case "crc32" => crc32(c.cast("binary"))
     case a => throw new IllegalArgumentException(s"unsupported hash: $a")
   }
+  /** hmac(algorithm, key) (methods_strings.go:703 — `hash` with a key
+    * argument). No Spark builtin → javax.crypto UDF; returns raw bytes
+    * like the reference (chain `encodeHex` for the usual form). // UDF
+    */
+  def hmac(c: Column, algorithm: String, key: Column): Column = {
+    val algo = algorithm match {
+      case "sha1" => "HmacSHA1"
+      case "sha256" => "HmacSHA256"
+      case "sha512" => "HmacSHA512"
+      case "md5" => "HmacMD5"
+      case a => throw new IllegalArgumentException(s"unsupported hmac: $a")
+    }
+    val f = udf { (b: Array[Byte], k: Array[Byte]) =>
+      if (b == null || k == null) null
+      else {
+        val mac = javax.crypto.Mac.getInstance(algo)
+        mac.init(new javax.crypto.spec.SecretKeySpec(k, algo))
+        mac.doFinal(b)
+      }
+    }
+    f(c.cast("binary"), key.cast("binary"))
+  }
+
   def indexOf(c: Column, sub: String): Column = instr(c, sub) - 1
   def joinArr(c: Column, sep: String): Column = array_join(c, sep)
   def uppercase(c: Column): Column = upper(c)
@@ -116,6 +146,60 @@ object Blob {
   def parseTimestamp(c: Column, fmt: String): Column = to_timestamp(c, fmt)
   def formatTimestamp(c: Column, fmt: String): Column = date_format(c, fmt)
   def formatTimestampUnix(c: Column): Column = unix_timestamp(c)
+
+  /** C strftime → Java DateTimeFormatter pattern translation, backing the
+    * reference's strftime-dialect timestamp methods
+    * (methods_strings.go:1289 parse_timestamp_strptime, :1439
+    * format_timestamp_strftime). Literal letters are single-quoted so they
+    * can't be misread as Java pattern fields.
+    */
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'p' -> "a",
+      'b' -> "MMM", 'B' -> "MMMM", 'a' -> "EEE", 'A' -> "EEEE",
+      'j' -> "DDD", 'z' -> "xx", 'Z' -> "zz", 'f' -> "SSSSSS")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        val t = fmt.charAt(i + 1)
+        if (t == '%') out += '%'
+        else out ++= map.getOrElse(t,
+          throw new IllegalArgumentException(s"unsupported strftime token %$t"))
+        i += 2
+      } else {
+        if (ch == '\'') out ++= "''"
+        else if (ch.isLetter) { out += '\''; out += ch; out += '\'' }
+        else out += ch
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** parse_timestamp_strptime (methods_strings.go:1289). */
+  def parseTimestampStrptime(c: Column, strftimeFmt: String): Column =
+    to_timestamp(c, strftimeToJava(strftimeFmt))
+
+  /** format_timestamp_strftime (methods_strings.go:1439). */
+  def formatTimestampStrftime(c: Column, strftimeFmt: String): Column =
+    date_format(c, strftimeToJava(strftimeFmt))
+
+  /** parse_duration_iso8601 (methods_strings.go:1213) → nanoseconds.
+    * java.time.Duration covers the PnDTnHnMn.nS forms; year/month
+    * designators are rejected like the reference's underlying lib. // UDF
+    */
+  val parseDurationIso8601: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else
+        try java.lang.Long.valueOf(java.time.Duration.parse(s).toNanos)
+        catch { case _: Exception => null.asInstanceOf[java.lang.Long] }
+    }
+    c => f(c)
+  }
   /** parse_duration (methods_strings.go:1183) → nanoseconds. Go-style
     * "1h2m3s450ms" durations; no builtin exists. // UDF
     */
@@ -136,6 +220,82 @@ object Blob {
     c => f(c)
   }
   def quote(c: Column): Column = to_json(struct(c.as("v"))).substr(lit(6), length(to_json(struct(c.as("v")))) - 6)
+  /** unquote (methods_strings.go:1567 — Go strconv.Unquote on a
+    * double-quoted string): JSON-string decode; non-quoted input → null,
+    * like the reference's error. // UDF
+    */
+  val unquote: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val t = s.trim
+        if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+          try {
+            val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+            if (n.isTextual) n.textValue() else null
+          } catch { case _: Exception => null }
+        else null
+      }
+    }
+    c => f(c)
+  }
+  /** encode("ascii85")/decode("ascii85") (methods_strings.go:90 encode
+    * options) — Adobe ASCII85 without the <~ ~> frame, 'z' shorthand on
+    * encode only (matching Go's encoding/ascii85 writer). // UDF
+    */
+  val encodeAscii85: Column => Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val out = new StringBuilder
+        var i = 0
+        while (i < b.length) {
+          val n = math.min(4, b.length - i)
+          var v = 0L
+          (0 until 4).foreach(j => v = (v << 8) | (if (j < n) b(i + j) & 0xffL else 0L))
+          if (v == 0 && n == 4) out += 'z'
+          else {
+            val cs = new Array[Char](5)
+            var x = v
+            (4 to 0 by -1).foreach { j => cs(j) = ((x % 85) + 33).toChar; x /= 85 }
+            out ++= new String(cs, 0, n + 1)
+          }
+          i += 4
+        }
+        out.result()
+      }
+    }
+    c => f(c.cast("binary"))
+  }
+  val decodeAscii85: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Int](5)
+        var k = 0
+        s.foreach { ch =>
+          if (ch == 'z' && k == 0) bytes.write(Array[Byte](0, 0, 0, 0), 0, 4)
+          else if (ch > ' ') {
+            chunk(k) = ch - 33; k += 1
+            if (k == 5) {
+              var v = 0L
+              chunk.foreach(d => v = v * 85 + d)
+              (3 to 0 by -1).foreach(j => bytes.write(((v >> (8 * j)) & 0xff).toInt))
+              k = 0
+            }
+          }
+        }
+        if (k > 0) { // partial group: pad with 'u' (84), emit k-1 bytes
+          var v = 0L
+          (0 until 5).foreach(j => v = v * 85 + (if (j < k) chunk(j) else 84))
+          (3 to (4 - k + 1) by -1).foreach(j => bytes.write(((v >> (8 * j)) & 0xff).toInt))
+        }
+        bytes.toByteArray
+      }
+    }
+    c => f(c)
+  }
   def replaceAll(c: Column, from: String, to: String): Column =
     replace(c, lit(from), lit(to))
   def replaceAllMany(c: Column, pairs: Seq[(String, String)]): Column =
@@ -187,6 +347,43 @@ object Blob {
   def notEmpty(c: Column): Column = when(size(c) > 0, c)
   def sortArr(c: Column): Column = array_sort(c)
   def sortByDesc(c: Column): Column = reverse(array_sort(c))
+  /** sort_by with a custom key (methods_structured.go:1139 — the
+    * reference's comparator-mapping form): array_sort with a comparator
+    * lambda over the extracted keys; stays a codegen'd HOF, no UDF.
+    */
+  def sortBy(c: Column, key: Column => Column): Column =
+    array_sort(c, (l, r) =>
+      when(key(l) < key(r), -1).when(key(l) > key(r), 1).otherwise(0))
+  /** collapse (methods_structured.go:143): flatten a JSON document into a
+    * single-level map of dot-separated leaf paths (arrays indexed
+    * numerically). Dynamic JSON → Jackson UDF, MAP<STRING,STRING> out. // UDF
+    */
+  val collapse: Column => Column = {
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+          val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          def walk(n: JsonNode, path: String): Unit = n match {
+            case o: ObjectNode =>
+              o.properties().forEach { e =>
+                walk(e.getValue, if (path.isEmpty) e.getKey else s"$path.${e.getKey}")
+              }
+            case a: ArrayNode =>
+              var i = 0
+              a.forEach { e => walk(e, s"$path.$i"); i += 1 }
+            case leaf =>
+              out(path) = if (leaf.isTextual) leaf.textValue() else leaf.toString
+          }
+          walk(root, "")
+          out.toMap
+        } catch { case _: Exception => null }
+    }
+    c => f(c)
+  }
   def slice(c: Column, from: Int, until: Int): Column = org.apache.spark.sql.functions.slice(c, from + 1, until - from)
   def sum_(c: Column): Column = aggregate(c, lit(0.0), (a, b) => a + b.cast("double"))
   def unique(c: Column): Column = array_distinct(c)
@@ -239,6 +436,27 @@ object Blob {
       regexp_extract(c, re, 3).as("hostname"),
       regexp_extract(c, re, 4).as("appname"),
       regexp_extract(c, re, 5).as("message"))
+  }
+
+  /** parse_log, syslog RFC5424 shape (reference parse_log.go:98-123
+    * handles both 5424 and 3164): `<pri>ver ts host app procid msgid
+    * [sd…]|- msg` → struct(priority, version, timestamp, hostname,
+    * appname, procid, msgid, structureddata, message). Nil fields (`-`)
+    * come back null like the reference's parser.
+    */
+  def parseSyslog5424(c: Column): Column = {
+    val re = "^<(\\d+)>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|(?:\\[[^\\]]*\\])+)(?: (.*))?$"
+    def nilNull(x: Column): Column = when(x === "-", lit(null)).otherwise(x)
+    struct(
+      regexp_extract(c, re, 1).try_cast("int").as("priority"),
+      regexp_extract(c, re, 2).try_cast("int").as("version"),
+      nilNull(regexp_extract(c, re, 3)).try_cast("timestamp").as("timestamp"),
+      nilNull(regexp_extract(c, re, 4)).as("hostname"),
+      nilNull(regexp_extract(c, re, 5)).as("appname"),
+      nilNull(regexp_extract(c, re, 6)).as("procid"),
+      nilNull(regexp_extract(c, re, 7)).as("msgid"),
+      nilNull(regexp_extract(c, re, 8)).as("structureddata"),
+      regexp_extract(c, re, 9).as("message"))
   }
 
   /** parse_xml (methods_strings.go:1011) via Spark 4's native from_xml. */

@@ -43,8 +43,7 @@ object Errors {
       .withColumn(ErrCol, lit(null).cast("string"))
 
   /** switch processor (switch.go:94-105,169-191): route each row to the
-    * first matching case's transform; `fallthrough` not modeled (the
-    * reference discourages it).
+    * first matching case's transform.
     */
   def switchProc(df: DataFrame, field: String, cases: Seq[(Column, Column)]): DataFrame = {
     val routed = cases.foldRight(col(field)) { case ((check, out), acc) =>
@@ -52,6 +51,52 @@ object Errors {
     }
     df.withColumn(field, routed)
   }
+
+  /** switch with `fallthrough` (switch.go:41-47 case field): when a
+    * matching case has fallthrough=true, the NEXT case's transform also
+    * runs (its check is ignored), chaining until a non-fallthrough case.
+    * Fallthrough flags are static, so each entry point's chain folds into
+    * one expression — the whole switch stays a single projection.
+    */
+  def switchProcFallthrough(
+      df: DataFrame,
+      field: String,
+      cases: Seq[(Column, Column => Column, Boolean)]): DataFrame = {
+    def chain(i: Int, v: Column): Column = {
+      val (_, f, ft) = cases(i)
+      val applied = f(v)
+      if (ft && i + 1 < cases.size) chain(i + 1, applied) else applied
+    }
+    val routed = cases.zipWithIndex.foldRight(col(field)) {
+      case (((check, _, _), i), acc) => when(check, chain(i, col(field))).otherwise(acc)
+    }
+    df.withColumn(field, routed)
+  }
+
+  /** The switch OUTPUT's routing rule (output_switch.go:193-238): each case
+    * is checked in order; a match with continue=false stops routing, a
+    * match with continue=true lets LATER cases also claim the row. Returns
+    * the array of matched case labels (empty = unmatched — an error under
+    * `strict_mode`, silently dropped otherwise).
+    */
+  def switchRoutes(cases: Seq[(String, Column, Boolean)]): Column = {
+    val labels = cases.zipWithIndex.map { case ((label, check, _), i) =>
+      val notStopped = cases.take(i)
+        .map { case (_, c, cont) => !(c && lit(!cont)) }
+        .foldLeft(lit(true))(_ && _)
+      when(check && notStopped, lit(label))
+    }
+    filter(array(labels: _*), x => x.isNotNull)
+  }
+
+  /** strict_mode (output_switch.go:263-268): a row matching no case is a
+    * routing failure — flag it instead of dropping.
+    */
+  def switchStrict(df: DataFrame, cases: Seq[(String, Column, Boolean)]): DataFrame =
+    withErrorCol(df.withColumn("routes", switchRoutes(cases)))
+      .withColumn(ErrCol,
+        when(size(col("routes")) === 0, lit("message does not match any cases"))
+          .otherwise(col(ErrCol)))
 
   /** output `reject` / DLQ split (internal/old/output/reject.go): failed
     * rows to a dead-letter frame, healthy rows onward.

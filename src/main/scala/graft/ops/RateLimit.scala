@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's `rate_limit` resource + processor (reference:
+  * internal/impl/pure/rate_limit_local.go:54-92 token bucket;
+  * internal/old/processor/rate_limit.go:45 pipeline-stage access).
+  *
+  * Three Spark-native mappings, by where the limit applies:
+  *
+  *  1. INGEST: `maxFilesPerTrigger` / `maxOffsetsPerTrigger` on the source
+  *     (the Flagship already uses this) — the cluster-correct way to bound
+  *     intake, applied by the engine, not per row.
+  *
+  *  2. PIPELINE STAGE (`tokenBucket` + `throttle`): the reference's exact
+  *     X-per-Y blocking semantics for stages that guard an external
+  *     service. Each partition gets its own bucket sized count/parallelism
+  *     — how a distributed rate limit shards; the aggregate admission rate
+  *     across P partitions is the configured count.
+  *
+  *  3. EVENT-TIME PLAN (`annotateOverflow`): the batch/replay analogue —
+  *     rows beyond `count` within each event-time interval are flagged
+  *     (route to drop_on/DLQ or defer downstream). Window math over one
+  *     shuffle; SQL-expressible, so it carries the oracle for the family.
+  */
+object RateLimit {
+
+  /** The reference's local token bucket, verbatim semantics
+    * (rate_limit_local.go:75-92): `access()` returns 0 when admitted, else
+    * the wait until the next refill. `clock` is injectable for tests.
+    */
+  final class TokenBucket(count: Int, intervalMs: Long,
+      clock: () => Long = () => System.currentTimeMillis()) extends Serializable {
+    require(count > 0, "count must be larger than zero")
+    private var bucket = count
+    private var lastRefresh = clock()
+
+    def accessMs(): Long = synchronized {
+      bucket -= 1
+      if (bucket < 0) {
+        bucket = 0
+        val remaining = intervalMs - (clock() - lastRefresh)
+        if (remaining > 0) return remaining
+        bucket = count - 1
+        lastRefresh = clock()
+      }
+      0L
+    }
+
+    /** Block until admitted — the processor's behavior (rate_limit.go:82). */
+    def acquire(): Unit = {
+      var wait = accessMs()
+      while (wait > 0) { Thread.sleep(wait); wait = accessMs() }
+    }
+  }
+
+  /** Pipeline-stage throttle: rows pass through at ≤ count per interval
+    * aggregate. The bucket divides across partitions (ceil so the limit is
+    * never under-provisioned to the point of starving a partition).
+    */
+  def throttle(df: DataFrame, count: Int, intervalMs: Long): DataFrame = {
+    val parts = math.max(df.rdd.getNumPartitions, 1)
+    val perPart = math.max(count / parts, 1)
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { rows =>
+      val bucket = new TokenBucket(perPart, intervalMs)
+      rows.map { r => bucket.acquire(); r }
+    }(enc)
+  }
+
+  /** Event-time admission plan: flag every row past `count` within its
+    * `intervalSeconds` bucket (ordered by `ord` within the bucket) — the
+    * replayable, deterministic form. Partitioning by the interval bucket
+    * keeps it one shuffle; at 100 TB the bucket key is time-ordered and
+    * dense so no skew beyond the configured rate itself.
+    */
+  def annotateOverflow(
+      df: DataFrame,
+      ts: Column,
+      ord: Column,
+      count: Int,
+      intervalSeconds: Long): DataFrame = {
+    val bucket = floor(unix_timestamp(ts) / intervalSeconds)
+    val w = Window.partitionBy(bucket).orderBy(ord)
+    df.withColumn("throttled", row_number().over(w) > count)
+  }
+}

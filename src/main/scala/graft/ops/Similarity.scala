@@ -61,16 +61,33 @@ object Similarity {
     call_function("graft_cosine", a, b)
   }
 
+  /** `lshBucket` evaluated in plain Scala for a literal query vector —
+    * same hyperplane weights (chained XXH64, identical fold order, so the
+    * sign of each projection is bit-identical to the Column form; pinned
+    * by SimilaritySpec). Lets a probe compute its bucket without running
+    * a Spark job.
+    */
+  def lshBucketLocal(query: Seq[Float], bits: Int, seed: Int = 42): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until bits).map { b =>
+      val proj = query.zipWithIndex.foldLeft(0.0) { case (acc, (v, j)) =>
+        val h = XXH64.hashInt(seed, XXH64.hashInt(b, XXH64.hashInt(j, 42L)))
+        acc + v.toDouble * ((h % 1000L).toDouble / 500.0 - 1.0)
+      }
+      if (proj >= 0) 1L << b else 0L
+    }.sum
+  }
+
   /** ANN top-k: restrict the scan to the query's LSH bucket, then exact
     * cosine inside it. At 100 TB the bucket column is a partition/cluster
-    * key, so the probe prunes file scans instead of filtering rows.
+    * key, so the probe prunes file scans instead of filtering rows. The
+    * query's bucket is computed driver-side (`lshBucketLocal`) — a probe
+    * costs zero jobs beyond the pruned scan itself.
     */
   def annTopK(df: DataFrame, emb: Column, query: Seq[Float], k: Int, bits: Int = 8): DataFrame = {
     val bucketed = df.withColumn("bucket", lshBucket(emb, bits))
     val q = array(query.map(v => lit(v)): _*)
-    val qBucketRow = bucketed.sparkSession.range(1)
-      .select(lshBucket(q, bits).as("qb")).collect()(0).getLong(0)
-    bucketed.filter(col("bucket") === qBucketRow)
+    bucketed.filter(col("bucket") === lshBucketLocal(query, bits))
       .withColumn("sim", cosineNative(df, emb, q))
       .orderBy(col("sim").desc)
       .limit(k)
@@ -96,14 +113,13 @@ object Similarity {
     val spark = df.sparkSession
     graft.functions.GraftExtensions.ensure(spark)
     val named = df.select(idCol.as("id"), emb.as("emb"))
-    // deterministic coarse centroids: every (n/nCells)-th vector in id
-    // order (at real scale: a driver-side sample; here exact and seeded)
-    val n = named.count()
-    val step = math.max(1L, n / nCells)
+    // deterministic coarse centroids: the nCells vectors with the smallest
+    // seeded id-hash — a uniform pseudo-random sample picked by ONE
+    // TakeOrderedAndProject pass (per-partition top-k + tiny driver merge;
+    // no global sort, no count job — the round-1 global-window centroid
+    // pick was a single-task sort of the whole corpus).
     val cembs = named
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
-        .over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
-      .filter((col("__rn") - 1) % step === 0)
+      .orderBy(xxhash64(col("id"), lit(7)), col("id"))
       .limit(nCells)
       .select(col("emb")).collect()
       .map(_.getSeq[Float](0)).zipWithIndex
@@ -139,6 +155,14 @@ object Similarity {
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     * so the quadratic blowup is confined to buckets.
+    *
+    * Scale shape (the minhash path's thin-exchange discipline,
+    * Dedupe.minhashDupPairs): the bucket self-join exchanges ONLY
+    * (bucket, id) — 16 bytes/row, not the embedding payload — candidate
+    * pairs are DISTINCTed, and embeddings are re-attached by two id-keyed
+    * joins for exact verification. At 100 TB this is the difference
+    * between shuffling 16 B and 256+ B per row through the widest
+    * exchange in the job.
     */
   def cosineDupPairs(
       df: DataFrame,
@@ -146,15 +170,18 @@ object Similarity {
       emb: Column,
       threshold: Double,
       bits: Int = 6): DataFrame = {
-    val b = df.select(idCol.as("id"), emb.as("emb"))
-      .withColumn("bucket", lshBucket(col("emb"), bits))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-    l.join(r, Seq("bucket"))
+    val named = df.select(idCol.as("id"), emb.as("emb"))
+    val thin = named.select(col("id"), lshBucket(col("emb"), bits).as("bucket"))
+    val candidates = thin.select(col("bucket"), col("id").as("id_a"))
+      .join(thin.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(named.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(named.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .withColumn("sim", cosineNative(df, col("emb_a"), col("emb_b")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
-      .distinct()
   }
 }

@@ -53,4 +53,55 @@ object Transforms {
     tiers.foldLeft(df) { (d, tier) =>
       d.withColumns(tier.map { case (n, f) => n -> f(d) }.toMap)
     }
+
+  /** A workflow branch with declared read/write targets — the columnar
+    * mapping of the reference's `TargetsUsed`/`TargetsProvided` dependency
+    * declaration (internal/old/processor/branch.go:271-318).
+    *
+    * `writes` is the column the branch provides; `reads` the columns its
+    * request map consumes. A branch depends on every branch whose write it
+    * reads; reads of pre-existing input columns impose no ordering.
+    */
+  final case class Branch(name: String, reads: Set[String], writes: String,
+      f: DataFrame => Column)
+
+  /** Automatic DAG resolution (the workflow feature's point — reference
+    * `resolveDynamicBranchDAG`, workflow_branch_map.go:273-302): layer the
+    * branches into tiers by Kahn's algorithm over the read→write edges,
+    * then execute via `workflow`. Branches in one tier are independent and
+    * fuse into a single projection.
+    *
+    * Throws IllegalArgumentException naming the unresolvable branches on a
+    * circular dependency, mirroring the reference's "failed to
+    * automatically resolve DAG, circular dependencies detected for
+    * branches: %v" (workflow_branch_map.go:302), and on duplicate write
+    * targets (two branches providing one column has no defined order).
+    */
+  def workflowAuto(df: DataFrame, branches: Seq[Branch]): DataFrame =
+    workflow(df, resolveDag(branches).map(_.map(b => b.writes -> b.f)))
+
+  /** The tier layering alone (exposed for WorkflowSpec). */
+  def resolveDag(branches: Seq[Branch]): Seq[Seq[Branch]] = {
+    val dupes = branches.groupBy(_.writes).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"multiple branches write the same target(s): ${dupes.mkString(", ")}")
+    val byWrite = branches.map(b => b.writes -> b).toMap
+    var remaining = branches
+    val tiers = Seq.newBuilder[Seq[Branch]]
+    var done = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition { b =>
+        // a read of an undone write target blocks; a self-read is a cycle
+        b.reads.forall(r => done.contains(r) || !byWrite.contains(r))
+      }
+      if (ready.isEmpty)
+        throw new IllegalArgumentException(
+          "failed to automatically resolve DAG, circular dependencies detected " +
+            s"for branches: ${blocked.map(_.name).sorted.mkString(", ")}")
+      tiers += ready
+      done ++= ready.map(_.writes)
+      remaining = blocked
+    }
+    tiers.result()
+  }
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{CacheOps, Errors, RateLimit}
+import graft.sources.Tables
+
+/** Oracle-checked queries for the cache operator family (set/add/get/
+  * delete — reference internal/old/processor/cache.go:40-45), the
+  * rate_limit admission plan (rate_limit_local.go), and the switch
+  * output's strict/continue routing (output_switch.go:193-238).
+  *
+  * The op log driving the cache queries is derived from transcripts:
+  * user turns `set` their conversation's entry, assistant turns try `add`,
+  * tool turns `delete` — exercising every operator's interaction in one
+  * deterministic keyed log.
+  */
+object CacheQueries {
+  private val T = Tables.TranscriptsCte
+
+  private def opLog(s: SparkSession, dir: String): DataFrame =
+    Tables.transcripts(s, dir).select(
+      col("conv_id"), col("turn_idx"), col("ts"),
+      when(col("role") === "user", "set")
+        .when(col("role") === "assistant", "add")
+        .otherwise("delete").as("op"),
+      col("text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // final store contents after replaying the op log (set overwrite /
+    // add-if-absent / delete semantics, cache.go footnotes).
+    "q_cache_ops" -> ((s, dir) => {
+      val ops = opLog(s, dir)
+      CacheOps.materialize(ops, col("conv_id"), col("op"), col("text"),
+        struct(col("ts"), col("turn_idx")), tsCol = Some(col("ts")))
+        .select(col("key"), col("value"),
+          unix_timestamp(col("written_at")).as("written_unix"))
+    }),
+
+    // `add` contention: first writer per (conv, role) wins, later rows
+    // carry the reference's "key already exists" error (cache.go ex. 1).
+    "q_cache_add" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      CacheOps.addAnnotate(df, concat_ws("|", col("conv_id"), col("role")),
+        struct(col("ts"), col("turn_idx")))
+        .select(col("conv_id"), col("turn_idx"), col(Errors.ErrCol).as("add_err"))
+    }),
+
+    // `get` hydration: tool turns read the store built from user `set`s;
+    // missing keys carry "key does not exist" (cache.go `get` contract).
+    "q_cache_get" -> ((s, dir) => {
+      val sets = opLog(s, dir).filter(col("op") === "set")
+      val store = CacheOps.materialize(sets, col("conv_id"), col("op"), col("text"),
+        struct(col("ts"), col("turn_idx")))
+      val tools = Tables.transcripts(s, dir).filter(col("role") === "tool")
+      CacheOps.get(tools, store, col("conv_id"), "cached")
+        .select(col("conv_id"), col("turn_idx"), col("cached"),
+          col(Errors.ErrCol).as("get_err"))
+    }),
+
+    // switch output continue/strict routing: a row may land in several
+    // sinks (continue=true) until a stopping case claims it; unmatched
+    // rows are flagged instead of dropped (strict_mode).
+    "q_switch_modes" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      Errors.switchStrict(df, Seq(
+        ("users", col("role") === "user", true),
+        ("longform", length(col("text")) > 40, true),
+        ("openers", col("turn_idx") === 0, false),
+        ("tools", col("role") === "tool", false)))
+        .select(col("conv_id"), col("turn_idx"),
+          array_join(col("routes"), ",").as("routed_to"),
+          col(Errors.ErrCol).as("route_err"))
+    }),
+
+    // rate_limit event-time admission plan: at most 50 turns admitted per
+    // hour bucket, overflow flagged for drop_on/DLQ routing.
+    "q_rate_limit" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      RateLimit.annotateOverflow(df, col("ts"),
+        struct(col("ts"), col("conv_id"), col("turn_idx")), 50, 3600L)
+        .select(col("conv_id"), col("turn_idx"), col("throttled"))
+    }))
+
+  private val opsCte: String =
+    T.stripSuffix("\n") +
+      """, ops AS (
+        |  SELECT conv_id, turn_idx, ts,
+        |    CASE WHEN role = 'user' THEN 'set'
+        |         WHEN role = 'assistant' THEN 'add'
+        |         ELSE 'delete' END AS op,
+        |    text
+        |  FROM transcripts),
+        |numbered AS (
+        |  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS rn
+        |  FROM ops),
+        |staged AS (
+        |  SELECT *,
+        |    coalesce(max(CASE WHEN op = 'delete' THEN rn END) OVER (PARTITION BY conv_id), 0) AS last_del
+        |  FROM numbered),
+        |chosen AS (
+        |  SELECT *, coalesce(
+        |      max(CASE WHEN op = 'set' AND rn > last_del THEN rn END) OVER (PARTITION BY conv_id),
+        |      min(CASE WHEN op = 'add' AND rn > last_del THEN rn END) OVER (PARTITION BY conv_id)
+        |    ) AS pick
+        |  FROM staged)
+        |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_cache_ops" -> (opsCte +
+      """SELECT conv_id AS key, text AS value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS written_unix
+        |FROM chosen WHERE rn = pick""".stripMargin),
+    "q_cache_add" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  CASE WHEN row_number() OVER (PARTITION BY conv_id, role ORDER BY ts, turn_idx) > 1
+        |       THEN 'key already exists' END AS add_err
+        |FROM transcripts""".stripMargin),
+    "q_cache_get" -> (T.stripSuffix("\n") +
+      """, store AS (
+        |  SELECT conv_id AS k, text AS v,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, turn_idx DESC) AS rn
+        |  FROM transcripts WHERE role = 'user')
+        |SELECT t.conv_id, t.turn_idx, s.v AS cached,
+        |  CASE WHEN s.k IS NULL THEN 'key does not exist' END AS get_err
+        |FROM transcripts t LEFT JOIN (SELECT k, v FROM store WHERE rn = 1) s
+        |  ON t.conv_id = s.k
+        |WHERE t.role = 'tool'""".stripMargin),
+    "q_switch_modes" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  coalesce(array_to_string(list_filter([
+        |    CASE WHEN role = 'user' THEN 'users' END,
+        |    CASE WHEN length(text) > 40 THEN 'longform' END,
+        |    CASE WHEN turn_idx = 0 THEN 'openers' END,
+        |    CASE WHEN role = 'tool' AND NOT turn_idx = 0 THEN 'tools' END
+        |  ], x -> x IS NOT NULL), ','), '') AS routed_to,
+        |  CASE WHEN NOT (role = 'user' OR length(text) > 40 OR turn_idx = 0 OR role = 'tool')
+        |       THEN 'message does not match any cases' END AS route_err
+        |FROM transcripts""".stripMargin),
+    "q_rate_limit" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  row_number() OVER (
+        |    PARTITION BY floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600)
+        |    ORDER BY ts, conv_id, turn_idx) > 50 AS throttled
+        |FROM transcripts""".stripMargin)
+  )
+}

@@ -57,6 +57,23 @@ object TransformQueries {
         .select("conv_id", "turn_idx", "t_len", "t_words", "chars_per_word")
     }),
 
+    // workflow with AUTOMATIC dependency ordering: branches given in
+    // scrambled order, tiers inferred from declared read/write targets
+    // (reference: workflow_branch_map.go:273-302 resolveDynamicBranchDAG).
+    "q_workflow_auto" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      import Transforms.Branch
+      Transforms.workflowAuto(df, Seq(
+        Branch("cpw", Set("t_len", "t_words"), "chars_per_word",
+          _ => round(col("t_len") / col("t_words"), 3)),
+        Branch("verdict", Set("chars_per_word"), "wordy",
+          _ => col("chars_per_word") > 5),
+        Branch("len", Set("text"), "t_len", _ => length(col("text"))),
+        Branch("words", Set("text"), "t_words",
+          _ => size(split(col("text"), " ")))))
+        .select("conv_id", "turn_idx", "t_len", "t_words", "chars_per_word", "wordy")
+    }),
+
     // grok processor: regex-dictionary extraction to typed fields
     // (reference: internal/old/processor/grok.go:91).
     "q_grok" -> ((s, dir) => {
@@ -100,6 +117,24 @@ object TransformQueries {
         Blob.length_(Blob.unique(words)).as("n_uniq"),
         Blob.sum_(transform(words, w => length(w))).cast("long").as("chars_sum"),
         Blob.joinArr(reverse(words), " ").as("rev_words"))
+    }),
+
+    // Scalar surface, part 3 (round-2 Bloblang tail): strftime/strptime
+    // dialect timestamps, ISO-8601 durations, unquote∘quote and
+    // ascii85-decode∘encode round-trips, comparator sort_by.
+    "q_blob_scalars3" -> ((s, dir) => {
+      val fmt = "%Y-%m-%dT%H:%M:%S"
+      val words = split(col("text"), " ")
+      Tables.transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        Blob.formatTimestampStrftime(col("ts"), fmt).as("stamped"),
+        unix_timestamp(Blob.parseTimestampStrptime(
+          Blob.formatTimestampStrftime(col("ts"), fmt), fmt)).as("rt_unix"),
+        Blob.parseDurationIso8601(
+          format_string("PT%dM", col("turn_idx") + 1)).as("iso_ns"),
+        Blob.unquote(Blob.quote(col("text"))).as("unq"),
+        Blob.decodeAscii85(Blob.encodeAscii85(col("text"))).cast("string").as("a85_rt"),
+        Blob.joinArr(Blob.sortBy(words, w => struct(length(w), w)), ",").as("by_len"))
     }),
 
     // metadata map plumbing (SURVEY §1.3: Part.metadata → MAP<STRING,
@@ -160,6 +195,13 @@ object TransformQueries {
         |  len(string_split(text, ' ')) AS t_words,
         |  round(length(text) / len(string_split(text, ' ')), 3) AS chars_per_word
         |FROM transcripts""".stripMargin),
+    "q_workflow_auto" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  length(text) AS t_len,
+        |  len(string_split(text, ' ')) AS t_words,
+        |  round(length(text) / len(string_split(text, ' ')), 3) AS chars_per_word,
+        |  round(length(text) / len(string_split(text, ' ')), 3) > 5 AS wordy
+        |FROM transcripts""".stripMargin),
     "q_grok" -> (T +
       """SELECT conv_id, turn_idx,
         |  regexp_extract(text, '^\[(\w+) (\d+)\]', 1) AS g_role,
@@ -189,6 +231,18 @@ object TransformQueries {
         |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
         |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '), w -> len(w))), 0) AS BIGINT) AS chars_sum,
         |  array_to_string(list_reverse(string_split(text, ' ')), ' ') AS rev_words
+        |FROM transcripts""".stripMargin),
+    "q_blob_scalars3" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS stamped,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS rt_unix,
+        |  CAST(turn_idx + 1 AS BIGINT) * 60000000000 AS iso_ns,
+        |  text AS unq,
+        |  text AS a85_rt,
+        |  array_to_string(list_transform(
+        |    list_sort(list_transform(string_split(text, ' '),
+        |      w -> printf('%05d|%s', len(w), w))),
+        |    x -> substr(x, 7)), ',') AS by_len
         |FROM transcripts""".stripMargin),
     "q_meta_map" -> (T +
       """SELECT conv_id, turn_idx,

@@ -70,4 +70,79 @@ class BlobSpec extends SparkTestBase {
     assert(got._2 == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
     assert(got._3 == 891568578L)
   }
+
+  test("hmac sha256 matches the RFC-style known vector") {
+    val got = Seq("The quick brown fox jumps over the lazy dog").toDF("t")
+      .select(Blob.encodeHex(Blob.hmac(col("t"), "sha256", lit("key"))))
+      .as[String].head()
+    assert(got == "f7bc83f430538424b13298e6aa6fb143ef4d59a14946175997479dbc2d1a3cd8")
+  }
+
+  test("strftime dialect translates and formats; strptime round-trips") {
+    assert(Blob.strftimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+    assert(Blob.strftimeToJava("%H hrs") == "HH 'h''r''s'")
+    val got = Seq(java.sql.Timestamp.valueOf("2024-03-05 07:08:09")).toDF("ts")
+      .select(Blob.formatTimestampStrftime(col("ts"), "%d/%b/%Y %I:%M %p"))
+      .as[String].head()
+    assert(got == "05/Mar/2024 07:08 AM")
+    val rt = Seq("2024-03-05T07:08:09").toDF("s")
+      .select(Blob.parseTimestampStrptime(col("s"), "%Y-%m-%dT%H:%M:%S").cast("string"))
+      .as[String].head()
+    assert(rt == "2024-03-05 07:08:09")
+  }
+
+  test("parse_duration_iso8601 handles day/time designators, rejects junk") {
+    val got = Seq(("P2DT3H4M", "nope")).toDF("a", "b")
+      .select(Blob.parseDurationIso8601(col("a")), Blob.parseDurationIso8601(col("b")))
+      .as[(Option[Long], Option[Long])].head()
+    assert(got._1.contains(((2L * 24 + 3) * 3600 + 4 * 60) * 1000000000L))
+    assert(got._2.isEmpty)
+  }
+
+  test("unquote decodes escaped JSON strings; non-quoted input errors to null") {
+    val got = Seq(("\"a\\nb\"", "plain")).toDF("q", "p")
+      .select(Blob.unquote(col("q")), Blob.unquote(col("p")))
+      .as[(String, String)].head()
+    assert(got._1 == "a\nb")
+    assert(got._2 == null)
+  }
+
+  test("ascii85 known vector, zero-group shorthand, and round-trip") {
+    val enc = Seq("easy").toDF("t").select(Blob.encodeAscii85(col("t"))).as[String].head()
+    assert(enc == "ARTY*")
+    val zeros = Seq(1).toDF("x")
+      .select(Blob.encodeAscii85(lit(Array[Byte](0, 0, 0, 0)))).as[String].head()
+    assert(zeros == "z")
+    val rt = Seq("partial len 7").toDF("t")
+      .select(Blob.decodeAscii85(Blob.encodeAscii85(col("t"))).cast("string"))
+      .as[String].head()
+    assert(rt == "partial len 7")
+  }
+
+  test("collapse flattens nested JSON to dot paths with array indexes") {
+    val got = Seq("""{"a":{"b":1},"c":[2,"x"]}""").toDF("j")
+      .select(Blob.collapse(col("j"))).as[Map[String, String]].head()
+    assert(got == Map("a.b" -> "1", "c.0" -> "2", "c.1" -> "x"))
+  }
+
+  test("sort_by comparator orders by the extracted key") {
+    val got = Seq(Seq("bb", "a", "ccc", "ab")).toDF("arr")
+      .select(Blob.joinArr(Blob.sortBy(col("arr"), w => struct(length(w), w)), ","))
+      .as[String].head()
+    assert(got == "a,ab,bb,ccc")
+  }
+
+  test("syslog RFC5424 parses the RFC sample line with nil fields as null") {
+    val line = "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - su root failed on /dev/pts/8"
+    val got = Seq(line).toDF("l").select(Blob.parseSyslog5424(col("l")).as("p"))
+      .select("p.priority", "p.version", "p.hostname", "p.appname",
+        "p.procid", "p.msgid", "p.structureddata", "p.message")
+      .as[(Int, Int, String, String, String, String, String, String)].head()
+    assert(got == ((34, 1, "mymachine.example.com", "su", null, "ID47", null,
+      "su root failed on /dev/pts/8")))
+    val sd = Seq("<165>1 2024-01-01T00:00:00Z host app 123 ID1 [ex@1 k=\"v\"] hi")
+      .toDF("l").select(Blob.parseSyslog5424(col("l")).getField("structureddata"))
+      .as[String].head()
+    assert(sd == "[ex@1 k=\"v\"]")
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.blob.Blob
 import graft.ops.Transforms
@@ -110,6 +111,152 @@ class GoldenCorpusSpec extends SparkTestBase {
     val got = cases.map(_._1).toDF("doc")
       .select(Blob.jsonWalkStrings(col("doc"), unescape)).as[String].collect().toSeq
     assert(got == cases.map(_._2))
+  }
+
+  test("github_releases.blobl: nested map_each -> filter -> flatten (github_releases_test.yaml)") {
+    // reference: config/test/bloblang/github_releases.blobl + _test.yaml —
+    // the largest real Bloblang program in the corpus
+    val input =
+      """[{"tag_name":"1.23.4","assets":[
+        |{"name":"benthos-lambda_1.23.4_linux_amd64.zip","download_count":123},
+        |{"name":"benthos_1.23.4_checksums.txt","download_count":456},
+        |{"name":"benthos_1.23.4_darwin_amd64.tar.gz","download_count":789},
+        |{"name":"benthos_1.23.4_linux_amd64.tar.gz","download_count":101112},
+        |{"name":"benthos_1.23.4_linux_arm64.tar.gz","download_count":131415}]}]"""
+        .stripMargin.replace("\n", "")
+    val releases = from_json(col("doc"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "ARRAY<STRUCT<tag_name: STRING, assets: ARRAY<STRUCT<name: STRING, download_count: BIGINT>>>>"))
+    val distOf = (name: Column) => regexp_replace(name,
+      "^benthos-?((lambda_)|_)[0-9\\.]+(-rc[0-9]+)?_([^\\.]+).*", "$2$4")
+    val mapped = flatten(transform(releases, release =>
+      filter(
+        transform(release.getField("assets"), asset => struct(
+          lit("github").as("source"),
+          distOf(asset.getField("name")).as("dist"),
+          asset.getField("download_count").as("download_count"),
+          // .trim("v") — cutset trim of the tag
+          regexp_replace(release.getField("tag_name"), "^v+|v+$", "").as("version"))),
+        asset => asset.getField("dist") =!= "checksums")))
+    val got = Seq(input).toDF("doc").select(explode(mapped).as("a"))
+      .select("a.dist", "a.download_count", "a.source", "a.version")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("lambda_linux_amd64", 123L, "github", "1.23.4"),
+      ("darwin_amd64", 789L, "github", "1.23.4"),
+      ("linux_amd64", 101112L, "github", "1.23.4"),
+      ("linux_arm64", 131415L, "github", "1.23.4")))
+  }
+
+  test("message_expansion.yaml: doc_root merged into each item, unarchived") {
+    // reference: config/test/bloblang/message_expansion.yaml
+    val input =
+      """{"id":"foobar","items":[{"content":"foo"},{"content":"bar"},{"content":"baz"}]}"""
+    val doc = from_json(col("doc"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "STRUCT<id: STRING, items: ARRAY<STRUCT<content: STRING>>>"))
+    val got = Seq(input).toDF("doc")
+      .select(doc.getField("id").as("id"), explode(doc.getField("items")).as("item"))
+      .select(to_json(struct(col("item.content").as("content"), col("id"))))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      """{"content":"foo","id":"foobar"}""",
+      """{"content":"bar","id":"foobar"}""",
+      """{"content":"baz","id":"foobar"}"""))
+  }
+
+  test("fans.yaml: match-deleted() filtering inside a nested array") {
+    // reference: config/test/bloblang/fans.yaml
+    val input =
+      """{"id":"foo","fans":[{"name":"bev","obsession":0.57},{"name":"grace","obsession":0.21},
+        |{"name":"ali","obsession":0.89},{"name":"vic","obsession":0.43}]}"""
+        .stripMargin.replace("\n", "")
+    val doc = from_json(col("doc"),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "STRUCT<id: STRING, fans: ARRAY<STRUCT<name: STRING, obsession: DOUBLE>>>"))
+    val got = Seq(input).toDF("doc")
+      .select(to_json(struct(
+        filter(doc.getField("fans"), f => f.getField("obsession") > 0.5).as("fans"),
+        doc.getField("id").as("id"))))
+      .as[String].head()
+    assert(got ==
+      """{"fans":[{"name":"bev","obsession":0.57},{"name":"ali","obsession":0.89}],"id":"foo"}""")
+  }
+
+  test("literals.yaml: conditional literal fields and array elements, both envs") {
+    // reference: config/test/bloblang/literals.yaml — if without else deletes
+    // the field/element; heterogeneous JSON built as text (Spark arrays are
+    // homogeneous, the assertion is on the serialized form like the YAML's)
+    def run(fooEnabled: Boolean, counts: Seq[Int]): Seq[String] = {
+      val cnt = col("count")
+      val f2 = if (fooEnabled) lit("\"2\":\"foo\"") else lit(null).cast("string")
+      val f3 = when(cnt > 5, concat(lit("\"3\":"), cnt.cast("string")))
+      val arrItems = array(
+        lit("\"1\""),
+        if (fooEnabled) lit("\"foo\"") else lit(null).cast("string"),
+        when(cnt > 5, cnt.cast("string")),
+        lit("\"4\""))
+      val f4 = concat(lit("\"4\":["),
+        array_join(filter(arrItems, x => x.isNotNull), ","), lit("]"))
+      val frags = array(lit("\"1\":\"1\""), f2, f3, f4)
+      counts.toDF("count")
+        .select(concat(lit("{"),
+          array_join(filter(frags, x => x.isNotNull), ","), lit("}")))
+        .as[String].collect().toSeq
+    }
+    assert(run(fooEnabled = true, Seq(10, 3)) == Seq(
+      """{"1":"1","2":"foo","3":10,"4":["1","foo",10,"4"]}""",
+      """{"1":"1","2":"foo","4":["1","foo","4"]}"""))
+    assert(run(fooEnabled = false, Seq(10, 3)) == Seq(
+      """{"1":"1","3":10,"4":["1",10,"4"]}""",
+      """{"1":"1","4":["1","4"]}"""))
+  }
+
+  test("csv.yaml: header drop, blank-line drop, per-row trimmed numeric sum") {
+    // reference: config/test/bloblang/csv.yaml — both cases (clean + whitespace)
+    def run(doc: String): String = {
+      val lines = split(col("doc"), "\n")
+      val body = filter(
+        org.apache.spark.sql.functions.slice(lines, lit(2), size(lines)),
+        l => length(trim(l)) > 0)
+      val sums = transform(body, l =>
+        aggregate(split(l, ","), lit(0.0),
+          (acc, x) => acc + coalesce(trim(x).try_cast("double"), lit(0.0)))
+          .cast("long"))
+      Seq(doc).toDF("doc").select(to_json(sums)).as[String].head()
+    }
+    assert(run("cat1,cat2,cat3\n1,2,3\n7,11,23\n89,23,2") == "[6,41,114]")
+    assert(run("cat1, cat2,cat3\n\n1, 2,3\n7,11 ,23\n\n89 , 23 ,2") == "[6,41,114]")
+  }
+
+  test("env.yaml: env() lookups land as nullable fields, all three cases") {
+    // reference: config/test/bloblang/env.yaml — missing env var → null
+    // field KEPT in the output (unlike literals.yaml's deleted-if)
+    def run(environment: Map[String, String]): String =
+      Seq(1).toDF("x").select(
+        to_json(struct(
+          Blob.envFn("BAR", environment).as("bar_env"),
+          Blob.envFn("FOO", environment).as("foo_env")),
+          Map("ignoreNullFields" -> "false")))
+        .as[String].head()
+    assert(run(Map("FOO" -> "fooval", "BAR" -> "barval")) ==
+      """{"bar_env":"barval","foo_env":"fooval"}""")
+    assert(run(Map("FOO" -> "fooval")) == """{"bar_env":null,"foo_env":"fooval"}""")
+    assert(run(Map.empty) == """{"bar_env":null,"foo_env":null}""")
+  }
+
+  test("files_for_content.yaml: file fixture uppercased equals the output fixture") {
+    // reference: config/test/files_for_content.yaml + files/input.txt,
+    // files/output.txt (fixtures inlined verbatim)
+    val input = Seq("hello world", "", "this file", "", "is a test input", "",
+      "and it lives in a file because", "", "it's very large and would", "",
+      "look ugly if it were inline in the test").mkString("\n")
+    val expected = Seq("HELLO WORLD", "", "THIS FILE", "", "IS A TEST INPUT", "",
+      "AND IT LIVES IN A FILE BECAUSE", "", "IT'S VERY LARGE AND WOULD", "",
+      "LOOK UGLY IF IT WERE INLINE IN THE TEST").mkString("\n")
+    val got = Seq(input).toDF("content")
+      .select(Blob.uppercase(col("content"))).as[String].head()
+    assert(got == expected)
   }
 
   test("windowed.yaml values survive end-to-end through the tumbling query shape") {

@@ -66,6 +66,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(a.forall(x => x >= 0 && x < 64))
   }
 
+  test("lshBucketLocal (driver-side Scala) equals the lshBucket column form") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (1 to 40).map(i => (i.toLong, Seq.fill(12)(rnd.nextFloat() - 0.5f)))
+    val fromCol = vecs.toDF("id", "emb")
+      .select(col("id"), Similarity.lshBucket(col("emb"), 8))
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(Similarity.lshBucketLocal(v, 8) == fromCol(id), s"id=$id")
+    }
+  }
+
   test("IVF probe finds the planted duplicate and ranks like brute force") {
     val rnd = new scala.util.Random(17)
     val target = Seq.fill(16)(rnd.nextFloat() - 0.5f)
