@@ -32,9 +32,19 @@ object GraftExtensions {
     ("graft_cosine", "cosine similarity of two ARRAY<FLOAT> columns",
       args => CosineSim(args(0), args(1))),
     ("graft_minhash_sig", "one-pass MinHash signature (text, k, numHashes)",
-      args => MinHashSig(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+      args => {
+        // k/numHashes shape the output schema, so they must be literal at
+        // resolution time; validate instead of letting eval() on an
+        // unresolved argument surface as an opaque Catalyst error.
+        if (args.length != 3 || !args(1).foldable || !args(2).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              "graft_minhash_sig expects (text, k: literal int, numHashes: literal int)"))
+        MinHashSig(args(0),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue())
+      }))
 
   /** Idempotent in-session registration, for sessions built without
     * `withExtensions` (e.g. the driver's own Verify/Bench sessions).

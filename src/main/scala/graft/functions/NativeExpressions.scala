@@ -40,12 +40,23 @@ object Native {
     n
   }
 
+  /** ASCII-alnum token char, lowercased — EXACTLY the column twins'
+    * tokenizer (`Dedupe.wordsOf`/`simhash`: replace `[^a-zA-Z0-9 ]` then
+    * locale-independent lower()). Unicode `isLetterOrDigit` + default-
+    * locale toLowerCase would diverge on non-ASCII corpora and make
+    * signatures depend on the JVM's locale (round-1 advice).
+    */
+  @inline private def asciiTokenChar(c: Char): Char =
+    if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c
+    else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+    else 0
+
   /** One-pass 64-bit SimHash over lowercased tokens (same tokenization as
     * `Dedupe.simhash`'s split on non-alphanumerics; xxhash64 per token,
     * majority vote per bit).
     */
   def simhash64(s: UTF8String): Long = {
-    val str = s.toString.toLowerCase
+    val str = s.toString
     val votes = new Array[Int](64)
     var nTokens = 0
     var i = 0
@@ -59,8 +70,8 @@ object Native {
       sb.setLength(0)
     }
     while (i < str.length) {
-      val c = str.charAt(i)
-      if (Character.isLetterOrDigit(c)) sb.append(c) else flush()
+      val c = asciiTokenChar(str.charAt(i))
+      if (c != 0) sb.append(c) else flush()
       i += 1
     }
     flush()
@@ -79,14 +90,14 @@ object Native {
     */
   def minhashSignature(s: UTF8String, k: Int, numHashes: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val str = s.toString.toLowerCase
-    // tokenize
+    val str = s.toString
+    // tokenize (ASCII alnum, lowercased — see asciiTokenChar)
     val words = new java.util.ArrayList[String](64)
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     while (i < str.length) {
-      val c = str.charAt(i)
-      if (Character.isLetterOrDigit(c)) sb.append(c)
+      val c = asciiTokenChar(str.charAt(i))
+      if (c != 0) sb.append(c)
       else if (sb.length > 0) { words.add(sb.toString); sb.setLength(0) }
       i += 1
     }

@@ -65,14 +65,20 @@ object Joins {
   /** Hydration join (cookbook config/examples/joining_streams.yaml:23-56):
     * child rows joined to their parent's payload by key. Batch form; the
     * streaming form is graft.streaming.SessionJoin (stateful, same output).
+    *
+    * `broadcastParents` — set when the parent side is dimension-sized
+    * (fits executor memory): the fact side is then never shuffled. Left
+    * off, AQE may still pick a broadcast at runtime from observed sizes;
+    * the explicit knob is for parents known small a priori.
     */
   def hydrate(
       children: DataFrame,
       parents: DataFrame,
       key: Seq[String],
-      parentPayload: Map[String, String]): DataFrame = {
+      parentPayload: Map[String, String],
+      broadcastParents: Boolean = false): DataFrame = {
     val dim = parents.select(key.map(col) ++
       parentPayload.map { case (from, to) => col(from).as(to) }: _*)
-    children.join(dim, key, "left")
+    children.join(if (broadcastParents) broadcast(dim) else dim, key, "left")
   }
 }

@@ -121,12 +121,22 @@ object Sink {
       backoffMs: Long = 50)(batch: DataFrame, batchId: Long): Unit = {
     var attempt = 0
     var done = false
+    val suppressed = scala.collection.mutable.ArrayBuffer.empty[Throwable]
     while (!done) {
       attempt += 1
+      // NonFatal only: OutOfMemoryError and friends must propagate, and an
+      // interrupt must not be swallowed into a sleep loop.
       try { sink(batch, batchId); done = true }
       catch {
-        case e: Throwable if attempt < maxAttempts =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
+          suppressed += e
           Thread.sleep(backoffMs * (1L << (attempt - 1)))
+        case scala.util.control.NonFatal(e) =>
+          // exhausted: attach the per-attempt failures for diagnosability
+          suppressed.foreach(e.addSuppressed)
+          throw e
       }
     }
   }
@@ -138,7 +148,7 @@ object Sink {
     var lastErr: Throwable = null
     val ok = sinks.exists { s =>
       try { s(batch, batchId); true }
-      catch { case e: Throwable => lastErr = e; false }
+      catch { case scala.util.control.NonFatal(e) => lastErr = e; false }
     }
     if (!ok && lastErr != null) throw lastErr
   }

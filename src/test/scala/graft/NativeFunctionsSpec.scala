@@ -35,6 +35,16 @@ class NativeFunctionsSpec extends SparkTestBase {
     got.foreach { case (native, hof) => assert(native == hof) }
   }
 
+  test("graft_simhash64 equality holds on non-ASCII text, locale-independently") {
+    // both tokenizers treat non-ASCII letters as separators (the column
+    // form's [^a-zA-Z0-9 ] class); no default-locale lowercasing anywhere
+    val tricky = Seq("Überraschung İstanbul TITLE case",
+      "naïve café déjà-vu MIXED", "日本語 tokens AND ascii 42")
+    val got = tricky.toDF("text").select(expr("graft_simhash64(text)"),
+      Dedupe.simhash(col("text"))).as[(Long, Long)].collect()
+    got.foreach { case (native, hof) => assert(native == hof) }
+  }
+
   test("graft_cosine is bit-identical to the HOF fold") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 50).map(_ => (Seq.fill(16)(rnd.nextFloat() - 0.5f),
