@@ -424,6 +424,93 @@ object Blob {
     c => f(c)
   }
 
+  /** The full compress/decompress algorithm set of the reference
+    * (compress.go:38-42: gzip, zlib, flate, snappy, lz4). zlib/flate via
+    * java.util.zip.Deflater (zlib wrapper on/off — byte-compatible with
+    * Go's compress/zlib and compress/flate); snappy block format via
+    * snappy-java; lz4 FRAME format via lz4-java — both jars ship with
+    * Spark and match the Go libraries' wire formats. // UDF
+    */
+  def compressAlgo(c: Column, algorithm: String): Column = algorithm match {
+    case "gzip" => gzipCompress(c)
+    case "zlib" | "flate" =>
+      val nowrap = algorithm == "flate"
+      val f = udf { (b: Array[Byte]) =>
+        if (b == null) null
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+          d.setInput(b); d.finish()
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+          d.end()
+          out.toByteArray
+        }
+      }
+      f(c.cast("binary"))
+    case "snappy" =>
+      val f = udf { (b: Array[Byte]) =>
+        if (b == null) null else org.xerial.snappy.Snappy.compress(b)
+      }
+      f(c.cast("binary"))
+    case "lz4" =>
+      val f = udf { (b: Array[Byte]) =>
+        if (b == null) null
+        else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val w = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+          w.write(b); w.close()
+          bos.toByteArray
+        }
+      }
+      f(c.cast("binary"))
+    case a => throw new IllegalArgumentException(s"unsupported compression: $a")
+  }
+
+  def decompressAlgo(c: Column, algorithm: String): Column = algorithm match {
+    case "gzip" => gzipDecompress(c)
+    case "zlib" | "flate" =>
+      val nowrap = algorithm == "flate"
+      val f = udf { (b: Array[Byte]) =>
+        if (b == null) null
+        else {
+          val inf = new java.util.zip.Inflater(nowrap)
+          inf.setInput(b)
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+            out.write(buf, 0, n)
+          }
+          inf.end()
+          out.toByteArray
+        }
+      }
+      f(c)
+    case "snappy" =>
+      val f = udf { (b: Array[Byte]) =>
+        if (b == null) null else org.xerial.snappy.Snappy.uncompress(b)
+      }
+      f(c)
+    case "lz4" =>
+      val f = udf { (b: Array[Byte]) =>
+        if (b == null) null
+        else {
+          val in = new net.jpountz.lz4.LZ4FrameInputStream(
+            new java.io.ByteArrayInputStream(b))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        }
+      }
+      f(c)
+    case a => throw new IllegalArgumentException(s"unsupported compression: $a")
+  }
+
   /** parse_log processor, syslog RFC3164 shape (reference:
     * internal/old/processor/parse_log.go:38,98-123) as a regexp bundle —
     * returns a struct(priority, timestamp, hostname, appname, message).

@@ -83,6 +83,123 @@ object GroupOps {
       .drop("__n")
   }
 
+  // ---------------------------------------------------- archive formats /
+  // The remaining archive/unarchive formats (archive.go footnotes:
+  // concatenate, lines, binary, tar, zip) over an already-packed ARRAY
+  // column (compose with `archive` above for the group→row step).
+
+  /** format `lines`: raw contents joined with line breaks. */
+  def archiveLines(parts: Column): Column = array_join(parts, "\n")
+  def unarchiveLines(blob: Column): Column = split(blob, "\n")
+
+  /** format `concatenate`: raw contents joined into one binary blob. */
+  def archiveConcatenate(parts: Column): Column =
+    aggregate(parts, lit(Array.emptyByteArray), (acc, x) => concat(acc, x.cast("binary")))
+
+  /** format `binary` (archive.go footnotes): 4-byte big-endian message
+    * count, then per part a 4-byte big-endian length + content. // UDF
+    */
+  val archiveBinary: Column => Column = {
+    val f = udf { (parts: Seq[Array[Byte]]) =>
+      if (parts == null) null
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        val dos = new java.io.DataOutputStream(out)
+        dos.writeInt(parts.size)
+        parts.foreach { p => dos.writeInt(p.length); dos.write(p) }
+        out.toByteArray
+      }
+    }
+    c => f(c)
+  }
+  val unarchiveBinary: Column => Column = {
+    val f = udf { (blob: Array[Byte]) =>
+      if (blob == null) null
+      else {
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blob))
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          b
+        }
+      }
+    }
+    c => f(c)
+  }
+
+  /** format `tar` (ustar via commons-compress, the jar Spark ships) and
+    * `zip` (JDK). Entries are (path, content) pairs; unarchive restores
+    * them in archive order. // UDF
+    */
+  val archiveTar: (Column, Column) => Column = {
+    val f = udf { (paths: Seq[String], contents: Seq[Array[Byte]]) =>
+      if (paths == null || contents == null) null
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val tar = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(bos)
+        paths.zip(contents).foreach { case (p, b) =>
+          val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(p)
+          e.setSize(b.length)
+          tar.putArchiveEntry(e); tar.write(b); tar.closeArchiveEntry()
+        }
+        tar.close()
+        bos.toByteArray
+      }
+    }
+    (paths, contents) => f(paths, contents)
+  }
+  val unarchiveTar: Column => Column = {
+    val f = udf { (blob: Array[Byte]) =>
+      if (blob == null) null
+      else {
+        val tar = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        val out = Seq.newBuilder[(String, Array[Byte])]
+        var e = tar.getNextEntry
+        while (e != null) {
+          out += ((e.getName, tar.readAllBytes()))
+          e = tar.getNextEntry
+        }
+        out.result()
+      }
+    }
+    c => f(c)
+  }
+  val archiveZip: (Column, Column) => Column = {
+    val f = udf { (paths: Seq[String], contents: Seq[Array[Byte]]) =>
+      if (paths == null || contents == null) null
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val zip = new java.util.zip.ZipOutputStream(bos)
+        paths.zip(contents).foreach { case (p, b) =>
+          zip.putNextEntry(new java.util.zip.ZipEntry(p))
+          zip.write(b); zip.closeEntry()
+        }
+        zip.close()
+        bos.toByteArray
+      }
+    }
+    (paths, contents) => f(paths, contents)
+  }
+  val unarchiveZip: Column => Column = {
+    val f = udf { (blob: Array[Byte]) =>
+      if (blob == null) null
+      else {
+        val zip = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(blob))
+        val out = Seq.newBuilder[(String, Array[Byte])]
+        var e = zip.getNextEntry
+        while (e != null) {
+          out += ((e.getName, zip.readAllBytes()))
+          e = zip.getNextEntry
+        }
+        out.result()
+      }
+    }
+    c => f(c)
+  }
+
   /** The windowed reduce pattern (config/test/bloblang/windowed.yaml:1-28):
     * from_all()+sum / from_all()+max collapse a batch to one row.
     */

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.blob.Blob
+import graft.ops.GroupOps
+
+/** The archive/unarchive format family beyond json_array (reference
+  * archive.go footnotes: concatenate, lines, binary, tar, zip) and the
+  * full compress algorithm set (compress.go:38-42).
+  */
+class ArchiveFormatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val parts = Seq(Seq("alpha", "beta", "gamma")).toDF("parts")
+
+  test("lines joins with newline and round-trips") {
+    val got = parts.select(
+      GroupOps.archiveLines(col("parts")).as("blob"))
+      .select(GroupOps.unarchiveLines(col("blob")))
+      .as[Seq[String]].head()
+    assert(got == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("concatenate joins raw bytes") {
+    val got = parts.select(
+      GroupOps.archiveConcatenate(col("parts")).cast("string"))
+      .as[String].head()
+    assert(got == "alphabetagamma")
+  }
+
+  test("binary format is big-endian framed and round-trips") {
+    val bin = parts.select(transform(col("parts"), p => p.cast("binary")).as("p"))
+      .select(GroupOps.archiveBinary(col("p")).as("blob"))
+    val blob = bin.select(col("blob")).as[Array[Byte]].head()
+    // 4-byte BE count = 3, then len("alpha") = 5
+    assert(blob.take(4).toSeq == Seq[Byte](0, 0, 0, 3))
+    assert(blob.slice(4, 8).toSeq == Seq[Byte](0, 0, 0, 5))
+    val rt = bin.select(GroupOps.unarchiveBinary(col("blob")).as("p"))
+      .select(transform(col("p"), x => x.cast("string")))
+      .as[Seq[String]].head()
+    assert(rt == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("tar and zip archive (path, content) entries and round-trip in order") {
+    val df = Seq((Seq("a.json", "b.json"), Seq("one", "two"))).toDF("paths", "texts")
+      .select(col("paths"), transform(col("texts"), t => t.cast("binary")).as("contents"))
+    for ((arc, unarc) <- Seq(
+        (GroupOps.archiveTar, GroupOps.unarchiveTar),
+        (GroupOps.archiveZip, GroupOps.unarchiveZip))) {
+      val got = df.select(arc(col("paths"), col("contents")).as("blob"))
+        .select(unarc(col("blob")).as("entries"))
+        .select(transform(col("entries"),
+          e => struct(e.getField("_1"), e.getField("_2").cast("string"))))
+        .as[Seq[(String, String)]].head()
+      assert(got == Seq(("a.json", "one"), ("b.json", "two")))
+    }
+  }
+
+  test("every compress algorithm round-trips; zlib/gzip carry their magic") {
+    val text = "the quick brown fox jumps over the lazy dog " * 20
+    val df = Seq(text).toDF("t")
+    for (algo <- Seq("gzip", "zlib", "flate", "snappy", "lz4")) {
+      val rt = df.select(
+        Blob.decompressAlgo(Blob.compressAlgo(col("t"), algo), algo).cast("string"))
+        .as[String].head()
+      assert(rt == text, s"round-trip failed for $algo")
+    }
+    val zlibHead = df.select(Blob.compressAlgo(col("t"), "zlib")).as[Array[Byte]].head()
+    assert((zlibHead(0) & 0xff) == 0x78) // zlib CMF
+    val gzipHead = df.select(Blob.compressAlgo(col("t"), "gzip")).as[Array[Byte]].head()
+    assert((gzipHead(0) & 0xff) == 0x1f && (gzipHead(1) & 0xff) == 0x8b)
+    // compression actually compresses the repetitive payload
+    assert(zlibHead.length < text.length / 4)
+  }
+}
