@@ -31,6 +31,15 @@ object GraftExtensions {
       args => SimHash64(args.head)),
     ("graft_cosine", "cosine similarity of two ARRAY<FLOAT> columns",
       args => CosineSim(args(0), args(1))),
+    ("graft_ngram_jaccard", "character n-gram Jaccard of two strings (a, b, n)",
+      args => {
+        if (args.length != 3 || !args(2).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              "graft_ngram_jaccard expects (a, b, n: literal int)"))
+        NgramJaccard(args(0), args(1), args(2).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_minhash_sig", "one-pass MinHash signature (text, k, numHashes)",
       args => {
         // k/numHashes shape the output schema, so they must be literal at

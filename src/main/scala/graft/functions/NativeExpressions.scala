@@ -151,6 +151,30 @@ object Native {
     val d = math.sqrt(na) * math.sqrt(nb)
     if (d == 0.0) 0.0 else dot / d
   }
+
+  /** Character n-gram Jaccard of two strings in one fused pass — the
+    * native form of `Dedupe.charNgrams` + `jaccard` (distinct n-length
+    * codepoint windows; |A∩B| / |A∪B|, 0 on empty union). The HOF form
+    * pays an interpreted lambda per character per array op (measured
+    * ~11 s for 5k docs at sf0.1); this runs at scan speed.
+    */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = ngramSet(a.toString, n)
+    val sb = ngramSet(b.toString, n)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  private def ngramSet(s: String, n: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    val cps = s.codePoints().toArray
+    var i = 0
+    while (i + n <= cps.length) { set.add(new String(cps, i, n)); i += 1 }
+    set
+  }
 }
 
 /** graft_token_count(text): codegen'd one-pass token count. */
@@ -205,6 +229,21 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** graft_ngram_jaccard(a, b, n): codegen'd one-pass character n-gram
+  * Jaccard similarity of two strings.
+  */
+case class NgramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(StringType, StringType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Native.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.ngramJaccard($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramJaccard =
+    copy(left = l, right = r)
 }
 
 /** graft_cosine(a, b): codegen'd cosine over ARRAY<FLOAT>. */

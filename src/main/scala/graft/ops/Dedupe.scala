@@ -171,17 +171,26 @@ object Dedupe {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** N-gram (character) Jaccard similarity of two texts — the exact
-    * verifier used standalone for small candidate sets.
+  /** Character n-grams over an ALREADY-BOUND lowercased attribute. Same
+    * perf contract as `shinglesOfWords`: the lambda references `t` per
+    * element, and an inlined expression (e.g. `lower(text)`) would be
+    * re-evaluated per CHARACTER by the interpreted HOF — O(len²) per doc
+    * (measured: q_ngram_jaccard 7.6 s → 0.6 s at sf0.1 after binding).
     */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
+  def charNgramsOfBound(t: Column, n: Int): Column =
     array_distinct(
       filter(
         transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
           i => t.substr(i, lit(n))),
         s => length(s) === n))
-  }
+
+  /** N-gram (character) Jaccard similarity of two texts — the exact
+    * verifier used standalone for small candidate sets. Convenience form;
+    * hot paths must bind `lower(text)` through a projection first and use
+    * `charNgramsOfBound` (see its perf contract).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    charNgramsOfBound(lower(text), n)
 
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, 0.0)

@@ -72,9 +72,15 @@ object RateLimit {
 
   /** Event-time admission plan: flag every row past `count` within its
     * `intervalSeconds` bucket (ordered by `ord` within the bucket) — the
-    * replayable, deterministic form. Partitioning by the interval bucket
-    * keeps it one shuffle; at 100 TB the bucket key is time-ordered and
-    * dense so no skew beyond the configured rate itself.
+    * replayable, deterministic form. One shuffle on the bucket key.
+    *
+    * Scale note: ranking within a bucket serializes that bucket into one
+    * task, so this shape fits when rows-per-interval is task-sized (true
+    * whenever the configured rate is the binding constraint — the point
+    * of a rate limit). For intervals far above task size, shrink the
+    * interval (count and interval scale together: 1M/min == 16.7k/s) —
+    * the admission decision is per-interval-local, so the rewrite is
+    * exact, not an approximation.
     */
   def annotateOverflow(
       df: DataFrame,

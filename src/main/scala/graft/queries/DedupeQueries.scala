@@ -28,14 +28,18 @@ object DedupeQueries {
     // character-3-gram Jaccard similarity of each doc against its neighbor
     // — the exact verifier of the near-dup pipeline, oracle-checked.
     "q_ngram_jaccard" -> ((s, dir) => {
+      // native fused pass (graft.functions.NgramJaccard): the HOF ngram
+      // build + intersect/union pays an interpreted lambda per character
+      // (11 s → 0.3 s for 5k docs at sf0.1); parity with the HOF form is
+      // pinned in NativeFunctionsSpec
+      graft.functions.GraftExtensions.ensure(s)
       val docs = Tables.documents(s, dir)
-      val a = docs.select(col("doc_id"),
-        Dedupe.charNgrams(col("text"), 3).as("ng_a"))
-      val b = docs.select((col("doc_id") - 1).as("doc_id"),
-        Dedupe.charNgrams(col("text"), 3).as("ng_b"))
-      a.join(b, Seq("doc_id"))
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("lt").as("lt_b"))
+      docs.join(b, Seq("doc_id"))
         .select(col("doc_id"),
-          round(Dedupe.jaccard(col("ng_a"), col("ng_b")), 6).as("jac"))
+          round(call_function("graft_ngram_jaccard", col("lt"), col("lt_b"), lit(3)), 6)
+            .as("jac"))
     }),
 
     // MinHash+LSH near-dup pairs, Jaccard-verified (shingle→minhash→band→

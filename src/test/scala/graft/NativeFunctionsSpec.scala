@@ -45,6 +45,20 @@ class NativeFunctionsSpec extends SparkTestBase {
     got.foreach { case (native, hof) => assert(native == hof) }
   }
 
+  test("graft_ngram_jaccard equals the HOF charNgrams+jaccard form") {
+    val pairs = Seq(
+      ("the quick brown fox", "the quick brown fox"),
+      ("the quick brown fox", "a quick brown dog"),
+      ("abc", "xyz"), ("ab", "ab"), ("", "abc"),
+      ("ααβγ unicode über", "ααβδ unicode über"))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      expr("graft_ngram_jaccard(a, b, 3)"),
+      Dedupe.jaccard(Dedupe.charNgrams(col("a"), 3), Dedupe.charNgrams(col("b"), 3)))
+      .as[(Double, Double)].collect()
+    got.foreach { case (native, hof) => assert(native == hof) }
+  }
+
   test("graft_cosine is bit-identical to the HOF fold") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 50).map(_ => (Seq.fill(16)(rnd.nextFloat() - 0.5f),
