@@ -546,6 +546,52 @@ object Blob {
       regexp_extract(c, re, 9).as("message"))
   }
 
+  /** avro processor (reference internal/impl/pure/processor_avro.go:42-53:
+    * operators `to_json` / `from_json` against a provided schema). The
+    * spark-avro connector module isn't in the sandbox, but the Avro Java
+    * runtime is — these UDFs run the same schema-driven binary↔JSON
+    * conversion the reference's goavro codec performs. At scale prefer
+    * storing decoded columns; these exist for payload parity. // UDF
+    */
+  def avroToJson(c: Column, schemaJson: String): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val reader = new org.apache.avro.generic.GenericDatumReader[AnyRef](schema)
+        val dec = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(b, null)
+        val datum = reader.read(null, dec)
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = new org.apache.avro.generic.GenericDatumWriter[AnyRef](schema)
+        val enc = org.apache.avro.io.EncoderFactory.get().jsonEncoder(schema, out)
+        writer.write(datum, enc)
+        enc.flush()
+        out.toString("UTF-8")
+      }
+    }
+    f(c)
+  }
+
+  def avroFromJson(c: Column, schemaJson: String): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val reader = new org.apache.avro.generic.GenericDatumReader[AnyRef](schema)
+        val dec = org.apache.avro.io.DecoderFactory.get().jsonDecoder(schema, s)
+        val datum = reader.read(null, dec)
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = new org.apache.avro.generic.GenericDatumWriter[AnyRef](schema)
+        val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+        writer.write(datum, enc)
+        enc.flush()
+        out.toByteArray
+      }
+    }
+    f(c)
+  }
+
   /** parse_xml (methods_strings.go:1011) via Spark 4's native from_xml. */
   def parseXml(c: Column, schemaDdl: String): Column =
     from_xml(c, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))

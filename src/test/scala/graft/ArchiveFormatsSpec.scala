@@ -72,4 +72,20 @@ class ArchiveFormatsSpec extends SparkTestBase {
     // compression actually compresses the repetitive payload
     assert(zlibHead.length < text.length / 4)
   }
+
+  test("avro to_json/from_json round-trips against a record schema") {
+    val schema =
+      """{"type":"record","name":"T","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    val json = """{"id":7,"name":"grace"}"""
+    val df = Seq(json).toDF("j")
+    val rt = df.select(
+      Blob.avroToJson(Blob.avroFromJson(col("j"), schema), schema))
+      .as[String].head()
+    assert(rt == json)
+    // binary form is the compact Avro encoding, not JSON bytes
+    val bin = df.select(Blob.avroFromJson(col("j"), schema)).as[Array[Byte]].head()
+    assert(bin.length < json.length)
+  }
 }
