@@ -54,11 +54,58 @@ object Blob {
   def envFn(name: String, environment: Map[String, String]): Column =
     lit(environment.get(name).orNull).cast("string")
   def envFn(name: String): Column = envFn(name, sys.env)
+  /** hostname() (functions.go:442) — driver-side constant like env(). */
+  def hostnameFn(): Column = lit(java.net.InetAddress.getLocalHost.getHostName)
+  /** file(path) (functions.go:362): contents resolved once at plan time
+    * and broadcast as a literal — the reference reads the file at
+    * construction too; for big files use a broadcast join instead.
+    */
+  def fileFn(path: String): Column =
+    lit(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
   def timestampUnix(ts: Column): Column = unix_timestamp(ts)
   def randomInt(seed: Long, maxExclusive: Long): Column =
     floor(rand(seed) * lit(maxExclusive)).cast("long")
   def uuidV4(): Column = expr("uuid()")
+  /** nanoid() (functions.go:786): 21 chars from the url-safe alphabet.
+    * Random like the reference — excluded from oracles by nature. // UDF
+    */
+  def nanoid(): Column = {
+    val f = udf { () =>
+      val alphabet = "_-0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val rnd = java.util.concurrent.ThreadLocalRandom.current()
+      val sb = new StringBuilder(21)
+      (0 until 21).foreach(_ => sb += alphabet(rnd.nextInt(64)))
+      sb.result()
+    }
+    f.asNondeterministic()()
+  }
+  /** ksuid() (functions.go:824): 4-byte big-endian seconds since the KSUID
+    * epoch (2014-05-13) + 16 random bytes, base62, 27 chars — sortable by
+    * creation time like the reference's segmentio/ksuid. // UDF
+    */
+  def ksuid(): Column = {
+    val f = udf { () =>
+      val epoch = 1400000000L
+      val ts = (System.currentTimeMillis() / 1000 - epoch).toInt
+      val raw = new Array[Byte](20)
+      java.util.concurrent.ThreadLocalRandom.current().nextBytes(raw)
+      raw(0) = (ts >>> 24).toByte; raw(1) = (ts >>> 16).toByte
+      raw(2) = (ts >>> 8).toByte; raw(3) = ts.toByte
+      // base62 of the 160-bit number, left-padded to 27
+      val alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+      var n = BigInt(1, raw)
+      val sb = new StringBuilder
+      while (n > 0) { sb += alphabet((n % 62).toInt); n /= 62 }
+      while (sb.length < 27) sb += '0'
+      sb.reverse.result()
+    }
+    f.asNondeterministic()()
+  }
   def throwErr(msg: Column): Column = raise_error(msg)
+  /** not_null() (methods.go:386): error (null → flag/raise) when null. */
+  def notNull(c: Column, name: String): Column =
+    when(c.isNull, raise_error(lit(s"value $name is null"))).otherwise(c)
 
   // --------------------------------------------------------- general meth /
   /** `.catch(fallback)` (methods.go:119): null/error → fallback. */
@@ -301,6 +348,57 @@ object Blob {
   def replaceAllMany(c: Column, pairs: Seq[(String, String)]): Column =
     pairs.foldLeft(c) { case (acc, (f, t)) => replace(acc, lit(f), lit(t)) }
   def reFindAll(c: Column, pattern: String): Column = regexp_extract_all(c, lit(pattern), lit(0))
+  /** re_find_all_submatch (methods_strings.go:1751): per match, the array
+    * [full, group1, group2, …]. // UDF
+    */
+  def reFindAllSubmatch(c: Column, pattern: String): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+        val out = Seq.newBuilder[Seq[String]]
+        while (m.find())
+          out += (0 to m.groupCount).map(g => Option(m.group(g)).getOrElse(""))
+        out.result()
+      }
+    }
+    f(c)
+  }
+  private def namedGroups(pattern: String): Seq[String] =
+    "\\(\\?<([a-zA-Z][a-zA-Z0-9]*)>".r.findAllMatchIn(pattern).map(_.group(1)).toSeq
+  /** re_find_object (methods_strings.go:1805): named groups of the FIRST
+    * match as a map (group `0` carries the full match, like the
+    * reference). // UDF
+    */
+  def reFindObject(c: Column, pattern: String): Column = {
+    val groups = namedGroups(pattern)
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+        if (!m.find()) null
+        else (Map("0" -> m.group(0)) ++
+          groups.flatMap(g => Option(m.group(g)).map(g -> _)))
+      }
+    }
+    f(c)
+  }
+  /** re_find_all_object (methods_strings.go:1862): one map per match. // UDF */
+  def reFindAllObject(c: Column, pattern: String): Column = {
+    val groups = namedGroups(pattern)
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+        val out = Seq.newBuilder[Map[String, String]]
+        while (m.find())
+          out += (Map("0" -> m.group(0)) ++
+            groups.flatMap(g => Option(m.group(g)).map(g -> _)))
+        out.result()
+      }
+    }
+    f(c)
+  }
   def reMatch(c: Column, pattern: String): Column = c.rlike(pattern)
   def reReplaceAll(c: Column, pattern: String, to: String): Column =
     regexp_replace(c, pattern, to)

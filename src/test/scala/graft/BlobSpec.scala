@@ -145,4 +145,35 @@ class BlobSpec extends SparkTestBase {
       .as[String].head()
     assert(sd == "[ex@1 k=\"v\"]")
   }
+
+  test("re_find_all_submatch / re_find_object / re_find_all_object") {
+    val df = Seq("a=1 b=22 c=333").toDF("t")
+    val sub = df.select(Blob.reFindAllSubmatch(col("t"), "([a-z])=(\\d+)"))
+      .as[Seq[Seq[String]]].head()
+    assert(sub == Seq(Seq("a=1", "a", "1"), Seq("b=22", "b", "22"), Seq("c=333", "c", "333")))
+    val obj = df.select(Blob.reFindObject(col("t"), "(?<key>[a-z])=(?<val>\\d+)"))
+      .as[Map[String, String]].head()
+    assert(obj == Map("0" -> "a=1", "key" -> "a", "val" -> "1"))
+    val objs = df.select(Blob.reFindAllObject(col("t"), "(?<key>[a-z])=(?<val>\\d+)"))
+      .as[Seq[Map[String, String]]].head()
+    assert(objs.map(_("val")) == Seq("1", "22", "333"))
+  }
+
+  test("nanoid and ksuid have the reference shapes") {
+    val (nid, kid) = Seq(1).toDF("x")
+      .select(Blob.nanoid(), Blob.ksuid()).as[(String, String)].head()
+    assert(nid.length == 21)
+    assert(nid.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
+    assert(kid.length == 27)
+    assert(kid.forall(c => c.isLetterOrDigit))
+  }
+
+  test("not_null raises on null, passes values through") {
+    val ok = Seq("x").toDF("t").select(Blob.notNull(col("t"), "t")).as[String].head()
+    assert(ok == "x")
+    intercept[Exception] {
+      Seq((null: String)).toDF("t")
+        .select(Blob.notNull(col("t"), "t")).as[String].head()
+    }
+  }
 }
