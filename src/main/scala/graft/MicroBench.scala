@@ -51,6 +51,18 @@ object MicroBench {
     time("simhash native (2M rows)") {
       texts.select(sum(expr("graft_simhash64(text) % 1000"))).head().getLong(0)
     }
+    // ngram jaccard: HOF costs a lambda per character — 20k-pair sample
+    val pairSample = sample.selectExpr("text AS a", "concat(text, ' tail') AS b").cache()
+    pairSample.count()
+    val pairs = texts.selectExpr("text AS a", "concat(text, ' tail') AS b")
+    time("ngram_jaccard HOF (20k rows!)") {
+      pairSample.select(sum(
+        Dedupe.jaccard(Dedupe.charNgrams(col("a"), 3), Dedupe.charNgrams(col("b"), 3)) * 1000))
+        .head().getDouble(0).toLong
+    }
+    time("ngram_jaccard native (2M rows)") {
+      pairs.select(sum(expr("graft_ngram_jaccard(a, b, 3) * 1000"))).head().getDouble(0).toLong
+    }
     time("cosine HOF") {
       vecs.select(sum(Similarity.cosine(col("emb"), reverse(col("emb"))))).head().getDouble(0).toLong
     }

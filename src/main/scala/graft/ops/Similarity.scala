@@ -94,6 +94,34 @@ object Similarity {
       .drop("bucket")
   }
 
+  /** Materialize the corpus PARTITIONED BY LSH bucket — the 100 TB layout
+    * the probe-side queries assume: the bucket is the table's partition
+    * key, so a probe prunes whole files/directories (PartitionFilters,
+    * PartitionCount: 1) instead of filtering rows after a full scan.
+    * Built once, amortized over every probe.
+    */
+  def writeBucketedIndex(df: DataFrame, idCol: Column, emb: Column,
+      bits: Int, path: String): Unit =
+    df.select(idCol.as("id"), emb.as("emb"))
+      .withColumn("bucket", lshBucket(col("emb"), bits))
+      .write.partitionBy("bucket").parquet(path)
+
+  /** ANN top-k against a bucket-partitioned index: the query's bucket is
+    * computed driver-side and becomes a partition filter — the scan reads
+    * ~1/2^bits of the data (AnnIndexSpec pins `PartitionCount: 1`).
+    */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      query: Seq[Float], k: Int, bits: Int = 8): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val probed = spark.read.parquet(indexPath)
+      .filter(col("bucket") === lshBucketLocal(query, bits))
+    probed
+      .withColumn("sim", cosineNative(probed, col("emb"), q))
+      .orderBy(col("sim").desc)
+      .limit(k)
+      .select("id", "sim")
+  }
+
   /** IVF (inverted-file) ANN: a deterministic sample of the corpus acts
     * as the coarse centroid set; every vector is assigned to its nearest
     * centroid (one broadcast pass — at 100 TB the assignment becomes the

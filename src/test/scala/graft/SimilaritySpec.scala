@@ -94,6 +94,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(all.toSet == brute.toSet)
   }
 
+  test("bucket-partitioned index: probe prunes partitions and finds the neighbor") {
+    val rnd = new scala.util.Random(41)
+    val target = Seq.fill(16)(rnd.nextFloat() - 0.5f)
+    val rows = ((1 to 300).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      :+ (999L, target))
+    val dir = java.nio.file.Files.createTempDirectory("ann-index").toString + "/idx"
+    Similarity.writeBucketedIndex(rows.toDF("id", "emb"), col("id"), col("emb"),
+      bits = 4, path = dir)
+    val probe = Similarity.annTopKIndexed(spark, dir, target, k = 1, bits = 4)
+    assert(probe.select("id").as[Long].collect().headOption.contains(999L))
+    // the probe must reach the scan as a PARTITION filter (directory
+    // pruning), with NO row-level data filter left — i.e. the scan never
+    // touches the other buckets' files
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"), plan)
+    assert(plan.contains("(bucket"), plan)
+    assert(plan.contains("DataFilters: []"), plan)
+  }
+
   test("cosineDupPairs reports planted duplicates above threshold") {
     val rnd = new scala.util.Random(29)
     val v = Seq.fill(12)(rnd.nextFloat() - 0.5f)
