@@ -690,6 +690,127 @@ object Blob {
     f(c)
   }
 
+  /** parse_yaml / format_yaml (methods_strings.go:1067/1099) via the
+    * jackson-dataformat-yaml module Spark ships: YAML ↔ canonical JSON
+    * text (structure-preserving, like the reference's yaml.Unmarshal →
+    * JSON value path). // UDF
+    */
+  val parseYaml: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else
+        try {
+          val y = new com.fasterxml.jackson.databind.ObjectMapper(
+            new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+          val node = y.readTree(s)
+          new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(node)
+        } catch { case _: Exception => null }
+    }
+    c => f(c)
+  }
+  val formatYaml: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+          new com.fasterxml.jackson.databind.ObjectMapper(
+            new com.fasterxml.jackson.dataformat.yaml.YAMLFactory()).writeValueAsString(node)
+        } catch { case _: Exception => null }
+    }
+    c => f(c)
+  }
+
+  /** json_schema processor (reference internal/old/processor/json_schema.go:
+    * invalid documents get the error flag with the violation message).
+    * Draft-7 SUBSET — type, properties, required, items, enum,
+    * minimum/maximum, minLength/maxLength, pattern,
+    * additionalProperties:false — the constructs the reference corpus
+    * uses; no full-draft library ships in the sandbox. Returns null when
+    * valid, else "path: message" for the first violation. // UDF
+    */
+  def jsonSchemaErr(c: Column, schemaJson: String): Column = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val f = udf { (s: String) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def typeName(n: JsonNode): String =
+        if (n.isTextual) "string"
+        else if (n.isIntegralNumber) "integer"
+        else if (n.isNumber) "number"
+        else if (n.isBoolean) "boolean"
+        else if (n.isArray) "array"
+        else if (n.isObject) "object"
+        else "null"
+      def check(node: JsonNode, schema: JsonNode, path: String): String = {
+        val t = schema.get("type")
+        if (t != null) {
+          val allowed =
+            if (t.isArray) (0 until t.size).map(t.get(_).asText()) else Seq(t.asText())
+          val actual = typeName(node)
+          val ok = allowed.exists(a => a == actual || (a == "number" && actual == "integer"))
+          if (!ok) return s"$path: expected ${allowed.mkString("/")}, got $actual"
+        }
+        val en = schema.get("enum")
+        if (en != null && !(0 until en.size).exists(i => en.get(i) == node))
+          return s"$path: value not in enum"
+        if (node.isNumber) {
+          val mn = schema.get("minimum"); val mx = schema.get("maximum")
+          if (mn != null && node.doubleValue < mn.doubleValue) return s"$path: below minimum"
+          if (mx != null && node.doubleValue > mx.doubleValue) return s"$path: above maximum"
+        }
+        if (node.isTextual) {
+          val mnl = schema.get("minLength"); val mxl = schema.get("maxLength")
+          if (mnl != null && node.textValue.length < mnl.intValue) return s"$path: too short"
+          if (mxl != null && node.textValue.length > mxl.intValue) return s"$path: too long"
+          val pat = schema.get("pattern")
+          if (pat != null && !java.util.regex.Pattern.compile(pat.asText)
+            .matcher(node.textValue).find()) return s"$path: pattern mismatch"
+        }
+        if (node.isObject) {
+          val req = schema.get("required")
+          if (req != null)
+            (0 until req.size).foreach { i =>
+              val k = req.get(i).asText
+              if (!node.has(k)) return s"$path: missing required property $k"
+            }
+          val props = schema.get("properties")
+          if (props != null) {
+            val it = props.properties().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (node.has(e.getKey)) {
+                val r = check(node.get(e.getKey), e.getValue, s"$path.${e.getKey}")
+                if (r != null) return r
+              }
+            }
+            val ap = schema.get("additionalProperties")
+            if (ap != null && ap.isBoolean && !ap.booleanValue) {
+              val names = node.fieldNames()
+              while (names.hasNext) {
+                val k = names.next()
+                if (!props.has(k)) return s"$path: additional property $k not allowed"
+              }
+            }
+          }
+        }
+        if (node.isArray) {
+          val items = schema.get("items")
+          if (items != null)
+            (0 until node.size).foreach { i =>
+              val r = check(node.get(i), items, s"$path[$i]")
+              if (r != null) return r
+            }
+        }
+        null
+      }
+      if (s == null) null
+      else
+        try check(mapper.readTree(s), mapper.readTree(schemaJson), "$")
+        catch { case e: Exception => s"$$: invalid json: ${e.getMessage}" }
+    }
+    f(c)
+  }
+
   /** parse_xml (methods_strings.go:1011) via Spark 4's native from_xml. */
   def parseXml(c: Column, schemaDdl: String): Column =
     from_xml(c, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))

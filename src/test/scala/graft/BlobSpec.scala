@@ -176,4 +176,33 @@ class BlobSpec extends SparkTestBase {
         .select(Blob.notNull(col("t"), "t")).as[String].head()
     }
   }
+
+  test("parse_yaml / format_yaml convert structurally via Jackson YAML") {
+    val yaml = "id: 7\nname: grace\ntags:\n  - a\n  - b\n"
+    val json = Seq(yaml).toDF("y").select(Blob.parseYaml(col("y"))).as[String].head()
+    assert(json == """{"id":7,"name":"grace","tags":["a","b"]}""")
+    val rt = Seq(json).toDF("j")
+      .select(Blob.parseYaml(Blob.formatYaml(col("j")))).as[String].head()
+    assert(rt == json)
+  }
+
+  test("json_schema subset validates types, required, ranges, nesting") {
+    val schema =
+      """{"type":"object","required":["id","name"],
+        |"properties":{
+        |  "id":{"type":"integer","minimum":1},
+        |  "name":{"type":"string","minLength":2},
+        |  "tags":{"type":"array","items":{"type":"string"}}},
+        |"additionalProperties":false}""".stripMargin.replace("\n", "")
+    def err(doc: String): Option[String] =
+      Seq(doc).toDF("d").select(Blob.jsonSchemaErr(col("d"), schema))
+        .as[Option[String]].head()
+    assert(err("""{"id":7,"name":"grace","tags":["a"]}""").isEmpty)
+    assert(err("""{"id":0,"name":"grace"}""").exists(_.contains("minimum")))
+    assert(err("""{"id":7}""").exists(_.contains("required")))
+    assert(err("""{"id":7,"name":"g"}""").exists(_.contains("short")))
+    assert(err("""{"id":7,"name":"gr","tags":[3]}""").exists(_.contains("expected string")))
+    assert(err("""{"id":7,"name":"gr","zz":1}""").exists(_.contains("additional")))
+    assert(err("not json at all{{").exists(_.contains("invalid json")))
+  }
 }
