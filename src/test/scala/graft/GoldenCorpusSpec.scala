@@ -259,6 +259,52 @@ class GoldenCorpusSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("cookbooks/filtering.yaml: match-deleted() over meta/doc/urls with catch(false)") {
+    // reference: config/test/cookbooks/filtering.yaml + _benthos_test.yaml
+    val rows = Seq(
+      ("""{"doc":{"should":"remain"},"id":"1"}""", null),
+      ("""{"doc":{"should":"not remain"},"id":"2"}""", "foo"),
+      ("""{"doc":{"should":"not remain","type":"bar"},"id":"3"}""", null),
+      ("""{"doc":{"should":"not remain","urls":["https://www.benthos.dev/"]},"id":"4"}""", null))
+      .toDF("content", "topic")
+    val urls = from_json(get_json_object(col("content"), "$.doc.urls"),
+      org.apache.spark.sql.types.DataType.fromDDL("ARRAY<STRING>"))
+    val deleteWhen =
+      coalesce(col("topic"), lit("")) === "foo" ||
+      coalesce(get_json_object(col("content"), "$.doc.type"), lit("")) === "bar" ||
+      coalesce(array_contains(urls, "https://www.benthos.dev/"), lit(false)) // .catch(false)
+    val got = Transforms.filterProc(rows, deleteWhen)
+      .select("content").as[String].collect().toSeq
+    assert(got == Seq("""{"doc":{"should":"remain"},"id":"1"}"""))
+  }
+
+  test("resources some/other_mappings.yaml: labeled processor resources, whole and singly") {
+    // reference: config/test/resources/{some,other}_mappings.yaml — the
+    // same labeled resources under two configs; resource reuse = named
+    // Column functions
+    def prefix(p: String)(c: Column): Column = concat(lit(p + " "), c)
+    def upperM(c: Column): Column = Blob.uppercase(c)
+    def run(f: Column => Column): String =
+      Seq("example content").toDF("content").select(f(col("content"))).as[String].head()
+    assert(run(c => upperM(prefix("foo")(c))) == "FOO EXAMPLE CONTENT")
+    assert(run(prefix("foo")) == "foo example content")
+    assert(run(upperM) == "EXAMPLE CONTENT")
+    assert(run(c => upperM(prefix("bar")(c))) == "BAR EXAMPLE CONTENT")
+    assert(run(prefix("bar")) == "bar example content")
+  }
+
+  test("unit_test_example.yaml: format of uppercased content, metadata preserved") {
+    // reference: config/test/unit_test_example.yaml + _benthos_test.yaml
+    val df = Seq(("example content", Map("example_key" -> "example metadata value")))
+      .toDF("content", "meta")
+    val got = df.select(
+      format_string("%send", Blob.uppercase(col("content"))).as("content"),
+      col("meta"))
+    val (content, meta) = got.as[(String, Map[String, String])].head()
+    assert(content == "EXAMPLE CONTENTend")
+    assert(meta == Map("example_key" -> "example metadata value"))
+  }
+
   test("windowed.yaml values survive end-to-end through the tumbling query shape") {
     // reference: config/test/bloblang/windowed.yaml — counts {243,71,10,333,164}
     // (group-level reduce asserted in GroupOpsSpec; here the full
