@@ -127,7 +127,7 @@ object WindowQueries {
     batch.orderBy(col("ts")).coalesce(8).write.parquet(inDir)
     val schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
     def turnsStream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 3).parquet(inDir)
+      .option("maxFilesPerTrigger", 4).parquet(inDir)
     def runOnce(): Unit = {
       val q = Sink.exactlyOnce(pipeline(turnsStream),
         s"$work/out", s"$work/ck", Trigger.AvailableNow()).start()
