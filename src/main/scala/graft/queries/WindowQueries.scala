@@ -107,7 +107,32 @@ object WindowQueries {
     // tumbling aggregation through the streaming engine (watermarked
     // groupBy(window) in Append mode, finalized windows only) — must
     // match q_tumbling_agg's DuckDB oracle row-for-row.
-    "q_stream_tumbling_agg" -> ((s, dir) => streamTumblingAgg(s, dir)))
+    "q_stream_tumbling_agg" -> ((s, dir) => streamTumblingAgg(s, dir)),
+
+    // read_until through the real engine: consume the ts-ordered stream
+    // until the first deep tool turn; that row is kept flagged
+    // `read_until_final`, everything after it is dropped and the query
+    // stops (reference: internal/impl/pure/input_read_until.go).
+    "q_read_until" -> ((s, dir) => readUntilQuery(s, dir)))
+
+  private def readUntilQuery(s: SparkSession, dir: String): DataFrame = {
+    val work = graft.util.Tmp.dir("readuntil")
+    val inDir = s"$work/in"
+    // total order across files so batch boundaries respect the cut order
+    Tables.transcripts(s, dir)
+      .orderBy(col("ts"), col("conv_id"), col("turn_idx"))
+      .coalesce(8).write.parquet(inDir)
+    val schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 2).parquet(inDir)
+    val ord = Seq(col("ts"), col("conv_id"), col("turn_idx"))
+    val q = graft.streaming.ReadUntil.run(
+      stream, col("role") === "tool" && col("turn_idx") >= 10, ord,
+      (b, _) => b.write.mode("append").parquet(s"$work/out"), s"$work/ck")
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .select("conv_id", "turn_idx", "role", "read_until_final")
+  }
 
   /** Stage the derived transcripts as a file stream, run `pipeline` to an
     * exactly-once sink across three AvailableNow phases (ingest; sentinel
@@ -241,6 +266,14 @@ object WindowQueries {
         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |  count(*) AS n_turns, count(tool) AS n_tool_turns,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
-        |FROM transcripts GROUP BY 1, 2""".stripMargin)
+        |FROM transcripts GROUP BY 1, 2""".stripMargin),
+    "q_read_until" -> (T +
+      """SELECT t.conv_id, t.turn_idx, t.role,
+        |  (t.role = 'tool' AND t.turn_idx >= 10) AS read_until_final
+        |FROM transcripts t, (
+        |  SELECT ts, conv_id, turn_idx FROM transcripts
+        |  WHERE role = 'tool' AND turn_idx >= 10
+        |  ORDER BY ts, conv_id, turn_idx LIMIT 1) m
+        |WHERE (t.ts, t.conv_id, t.turn_idx) <= (m.ts, m.conv_id, m.turn_idx)""".stripMargin)
   )
 }
