@@ -80,6 +80,47 @@ object Transforms {
   def workflowAuto(df: DataFrame, branches: Seq[Branch]): DataFrame =
     workflow(df, resolveDag(branches).map(_.map(b => b.writes -> b.f)))
 
+  /** `while` processor (internal/old/processor/while.go:147-186): run the
+    * child processors over the batch for as long as the check query holds,
+    * with `at_least_once` (do-while) and `max_loops` caps, exiting early
+    * when the batch empties.
+    *
+    * The distributed reading of "batch" is the whole DataFrame: the loop
+    * is inherently driver-side in the reference too (its `ProcessBatch`
+    * re-runs children until `checkMsg` flips), so each iteration here is
+    * one action to evaluate the check plus a deferred transformation. Rows
+    * NOT matching `check` still flow through `step` unchanged-or-not as
+    * the step decides — exactly like reference children see the whole
+    * batch — and per-group while loops precompute a group-level check
+    * column with a window function. Lineage is truncated every
+    * `checkpointEvery` iterations so long loops don't accumulate an
+    * unbounded plan (the scale concern: each iteration is a full pass, so
+    * loop counts must stay O(log n) — e.g. halving loops — never O(rows)).
+    */
+  def whileLoop(
+      df: DataFrame,
+      check: Column,
+      step: DataFrame => DataFrame,
+      maxLoops: Int = 0,
+      atLeastOnce: Boolean = false,
+      checkpointEvery: Int = 8): DataFrame = {
+    var cur = df
+    var loops = 0
+    // project-then-filter so the check may be a window expression
+    // (e.g. a batch_size() analogue), which WHERE would reject
+    def anyMatch: Boolean =
+      !cur.select(check.as("__check")).filter(col("__check")).isEmpty
+    var cond = atLeastOnce || anyMatch
+    while (cond && (maxLoops <= 0 || loops < maxLoops)) {
+      cur = step(cur)
+      loops += 1
+      if (loops % checkpointEvery == 0) cur = cur.localCheckpoint(true)
+      if (cur.isEmpty) return cur
+      cond = anyMatch
+    }
+    cur
+  }
+
   /** The tier layering alone (exposed for WorkflowSpec). */
   def resolveDag(branches: Seq[Branch]): Seq[Seq[Branch]] = {
     val dupes = branches.groupBy(_.writes).filter(_._2.size > 1).keys

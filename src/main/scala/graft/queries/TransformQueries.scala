@@ -156,6 +156,60 @@ object TransformQueries {
         size(Blob.keys(col("meta"))).as("n_keys"))
     }),
 
+    // jmespath processor (internal/old/processor/jmespath.go:143-161):
+    // the query compiles once, runs per document, and the result replaces
+    // the document. The program below exercises filters, projections,
+    // sort/join/max_by/sum functions and pipes over a real per-conversation
+    // JSON document (the doc-example shape: filter → sort → join).
+    "q_jmespath" -> ((s, dir) => {
+      val doc = Tables.transcripts(s, dir)
+        .groupBy(col("conv_id"))
+        .agg(array_sort(collect_list(struct(
+          col("turn_idx").as("i"), col("role").as("role"),
+          col("tool").as("tool"), length(col("text")).as("n")))).as("turns"))
+        .withColumn("doc", to_json(struct(col("conv_id").as("conv"), col("turns"))))
+      import graft.blob.JsonQuery
+      doc.select(
+        col("conv_id"),
+        JsonQuery.jmespath(col("doc"), "turns[?role=='assistant'] | length(@)")
+          .cast("int").as("n_assistant"),
+        Blob.unquote(JsonQuery.jmespath(col("doc"),
+          "join(',', sort(turns[?role=='tool'].tool))")).as("tools_csv"),
+        JsonQuery.jmespath(col("doc"), "max_by(turns, &n).n").cast("int").as("max_len"),
+        JsonQuery.jmespath(col("doc"), "sum(turns[*].n)").cast("bigint").as("sum_chars"))
+    }),
+
+    // jq processor (internal/old/processor/jq.go; jq_test.go:58 tests
+    // `{foo: .foo} | .foo.bar = "baz"`): paths, object construction and
+    // path assignment over per-row JSON.
+    "q_jq" -> ((s, dir) => {
+      import graft.blob.JsonQuery
+      val df = Tables.transcripts(s, dir).withColumn("doc",
+        to_json(struct(col("conv_id"), col("turn_idx"), col("role"),
+          split(col("text"), " ").as("words"))))
+      df.select(
+        col("conv_id"), col("turn_idx"),
+        Blob.unquote(JsonQuery.jq(col("doc"), ".role")).as("jq_role"),
+        Blob.unquote(JsonQuery.jq(col("doc"), ".words[0]")).as("jq_word0"),
+        JsonQuery.jq(col("doc"), "{conv: .conv_id} | .seen = true").as("jq_obj"))
+    }),
+
+    // while processor (internal/old/processor/while.go:147-186): halve
+    // every oversized document until none exceeds the bound — a
+    // do-until-fixpoint loop whose iteration count is O(log max_len).
+    "q_while" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Transforms.whileLoop(docs,
+        length(col("text")) > 64,
+        d => d.withColumn("text",
+          when(length(col("text")) > 64,
+            col("text").substr(lit(1), ceil(length(col("text")) / 2).cast("int")))
+            .otherwise(col("text"))),
+        maxLoops = 32)
+        .select(col("doc_id"), length(col("text")).as("len_final"),
+          col("text").as("text_final"))
+    }),
+
     // try/catch error routing (reference: internal/old/processor/try.go:83-153,
     // catch.go:120-152 — catch clears the error flag after handling).
     "q_try_catch" -> ((s, dir) => {
@@ -251,6 +305,28 @@ object TransformQueries {
         |  CAST(turn_idx AS VARCHAR) AS m_idx,
         |  3 AS n_keys
         |FROM transcripts""".stripMargin),
+    "q_jmespath" -> (T +
+      """SELECT conv_id,
+        |  CAST(count(*) FILTER (WHERE role = 'assistant') AS INT) AS n_assistant,
+        |  coalesce(array_to_string(list_sort(list(tool) FILTER (WHERE role = 'tool')), ','), '') AS tools_csv,
+        |  CAST(max(length(text)) AS INT) AS max_len,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM transcripts GROUP BY conv_id""".stripMargin),
+    "q_jq" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  role AS jq_role,
+        |  string_split(text, ' ')[1] AS jq_word0,
+        |  printf('{"conv":"%s","seen":true}', conv_id) AS jq_obj
+        |FROM transcripts""".stripMargin),
+    "q_while" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, substr(text, 1, CAST(ceil(length(text) / 2.0) AS INT))
+        |  FROM w WHERE length(text) > 64
+        |)
+        |SELECT doc_id, length(text) AS len_final, text AS text_final
+        |FROM w WHERE length(text) <= 64""".stripMargin,
     "q_try_catch" -> (T +
       """SELECT conv_id, turn_idx,
         |  CASE WHEN length(text) > 60 THEN 'REDACTED' ELSE upper(text) END AS text_out,

@@ -109,6 +109,34 @@ object WindowQueries {
     // match q_tumbling_agg's DuckDB oracle row-for-row.
     "q_stream_tumbling_agg" -> ((s, dir) => streamTumblingAgg(s, dir)),
 
+    // sliding aggregation through the streaming engine (each row in 2
+    // overlapping windows, Append mode) — must match the batch
+    // q_sliding_agg's DuckDB oracle row-for-row.
+    "q_stream_sliding_agg" -> ((s, dir) =>
+      replayStreamed(s, dir, "zzz-sentinel", { stream =>
+        stream.withWatermark("ts", "40 days")
+          .groupBy(col("conv_id"), window(col("ts"), "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("sum_chars"))
+          .select(col("conv_id"), unix_timestamp(col("window.start")).as("window_start"),
+            col("n_turns"), col("sum_chars"))
+      })),
+
+    // the NATIVE session_window through the streaming engine: Spark's
+    // merging session state in Append mode (sessions that overlap within
+    // the gap merge as turns stream in; finalized when the watermark
+    // passes session end) — same oracle as the batch
+    // q_session_window_native.
+    "q_stream_session_window" -> ((s, dir) =>
+      replayStreamed(s, dir, "zzz-sentinel", { stream =>
+        stream.withWatermark("ts", "40 days")
+          .groupBy(col("conv_id"), session_window(col("ts"), s"$GapSeconds seconds"))
+          .agg(count(lit(1)).as("n_turns"), sum(length(col("text"))).as("sum_chars"))
+          .select(col("conv_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_turns"), col("sum_chars"))
+      })),
+
     // read_until through the real engine: consume the ts-ordered stream
     // until the first deep tool turn; that row is kept flagged
     // `read_until_final`, everything after it is dropped and the query
@@ -224,7 +252,7 @@ object WindowQueries {
         |  FROM sessioned)
         |WHERE role <> 'user' AND u IS NOT NULL""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_tumbling_agg" -> (T +
       """SELECT conv_id,
         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
@@ -276,4 +304,9 @@ object WindowQueries {
         |  ORDER BY ts, conv_id, turn_idx LIMIT 1) m
         |WHERE (t.ts, t.conv_id, t.turn_idx) <= (m.ts, m.conv_id, m.turn_idx)""".stripMargin)
   )
+
+  /** The streaming engine runs answer to the same SQL as their batch twins. */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q_stream_sliding_agg" -> oraclesBase("q_sliding_agg"),
+    "q_stream_session_window" -> oraclesBase("q_session_window_native"))
 }
