@@ -12,7 +12,8 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
     else Seq("q1_agg", "q3_shipping", "q_session_join", "q_branch_enrich",
-      "q_minhash_pairs", "q_tumbling_agg", "q_cosine_score")
+      "q_minhash_pairs", "q_tumbling_agg", "q_cosine_score", "q_jmespath",
+      "q_jq", "q_cache_ops", "q_ivf_topk", "q_cosine_dup_pairs")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

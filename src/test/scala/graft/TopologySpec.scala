@@ -45,6 +45,27 @@ class TopologySpec extends SparkTestBase {
     assert(Sink.readCommitted(spark, outB).select("v").as[Int].collect().sorted.toSeq == Seq(20, 25))
   }
 
+  test("streams mode: N named streams run concurrently in one session (SURVEY §3.2)") {
+    // the reference's streams mode / StreamBuilder hosts N independent
+    // input→pipeline→output streams in one process (internal/stream/
+    // type.go; docs/guides/streams_mode) — here: one SparkSession, two
+    // Topologies with different pipelines over the same staged input,
+    // both StreamingQueries live at once, each with its own checkpoint
+    // and exactly-once sink.
+    val work = Files.createTempDirectory("streamsmode").toString
+    Seq(1, 2, 3, 4, 5, 6).toDF("v").repartition(2).write.parquet(s"$work/in")
+    def topo(name: String, p: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      Topology.fromParquetStream(s"$work/in", "v INT").proc(p)
+        .run(spark, s"$work/out-$name", s"$work/ck-$name")
+    val qa = topo("evens", _.filter(col("v") % 2 === 0))
+    val qb = topo("tens", _.withColumn("v", col("v") * 10))
+    qa.awaitTermination(); qb.awaitTermination()
+    assert(Sink.readCommitted(spark, s"$work/out-evens")
+      .select("v").as[Int].collect().sorted.toSeq == Seq(2, 4, 6))
+    assert(Sink.readCommitted(spark, s"$work/out-tens")
+      .select("v").as[Int].collect().sorted.toSeq == Seq(10, 20, 30, 40, 50, 60))
+  }
+
   test("multimodal decode round-trips the stub metadata; malformed rows drop") {
     val docs = spark.range(10).toDF("doc_id")
     val media = Multimodal.withMedia(docs)
