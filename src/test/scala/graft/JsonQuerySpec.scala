@@ -150,6 +150,13 @@ class JsonQuerySpec extends SparkTestBase {
     assertTreeEq("""{"foo":{"bar":"baz","original":{"content":"is this"}}}""", act)
   }
 
+  test("jq: convert to csv (jq_test.go:144 `[.ts,.id,.msg] | @csv`)") {
+    val plain = "1641393111,\"1054fe28\",\"sample \"\"log\"\"\""
+    val act = runJq("[.ts,.id,.msg] | @csv",
+      """{"id":"1054fe28","msg":"sample \"log\"","ts":1641393111}""")
+    assert(act == mapper.writeValueAsString(plain))
+  }
+
   test("jq: iterate-all and index paths") {
     val doc = """{"xs":[{"v":1},{"v":2}]}"""
     assert(runJq(".xs[].v", doc) == "[1,2]")
