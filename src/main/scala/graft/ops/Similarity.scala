@@ -181,6 +181,45 @@ object Similarity {
       .select(col("id"), col("sim"))
   }
 
+  /** Scalar int8 quantization (per-vector symmetric max-abs scale): the
+    * 100 TB index-size lever — 4 B/dim float32 becomes 1 B/dim int8 plus
+    * one scale (≈4× smaller index, ≈4× less scan+shuffle per probe).
+    * Cosine ranking is scale-free (the per-vector scales cancel), so
+    * probes run on the int8 vectors alone; `scale` is kept for
+    * dot-product/reconstruction uses. Quantization error vs float cosine
+    * and probe recall are pinned in SimilaritySpec; the transform itself
+    * is oracle-checked (`q_quantize` — both engines round half-away-from-
+    * zero on bit-identical doubles). `maxabs` is bound through a
+    * projection alias so the per-element lambda doesn't re-evaluate the
+    * array_max (the interpreted-HOF trap, BENCH.md §2).
+    */
+  def quantizeInt8(df: DataFrame, idCol: Column, emb: Column): DataFrame =
+    df.select(idCol.as("id"), emb.as("emb"))
+      .withColumn("maxabs", array_max(transform(col("emb"), v => abs(v))))
+      .select(
+        col("id"),
+        (col("maxabs").cast("double") / 127.0).as("scale"),
+        when(col("maxabs") === 0f,
+          transform(col("emb"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("emb"), v =>
+            round(v.cast("double") * 127.0 / col("maxabs").cast("double")).cast("byte")))
+          .as("q"))
+
+  /** Brute-force top-k over a quantized index: ranking on the int8
+    * vectors only (`cosine`'s fold casts to double element-wise, so it
+    * applies unchanged). The query is quantized driver-side with its own
+    * scale — no job beyond the scan.
+    */
+  def bruteForceTopKInt8(quantized: DataFrame, query: Seq[Float], k: Int): DataFrame = {
+    val qmax = query.foldLeft(0f)((m, v) => math.max(m, math.abs(v)))
+    val qq: Seq[Int] =
+      if (qmax == 0f) query.map(_ => 0)
+      else query.map(v => math.round(v * 127.0 / qmax).toInt)
+    quantized.withColumn("sim", cosine(col("q"), array(qq.map(lit(_)): _*)))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
     * so the quadratic blowup is confined to buckets.
     *

@@ -78,6 +78,28 @@ object SimilarityQueries {
         .select(col("id").as("vec_id"), round(col("sim"), 4).as("sim"))
     }),
 
+    // int8 quantization of the embedding column — the transform is
+    // deterministic in IEEE double, so it gets a full DuckDB oracle
+    // (per-vector scale + sum/min/max of the quantized values).
+    "q_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), col("vec_id"), col("embedding"))
+        .select(col("id").as("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (a, b) => a + b.cast("long")).as("q_sum"),
+          array_min(col("q")).cast("int").as("q_min"),
+          array_max(col("q")).cast("int").as("q_max"))
+    }),
+
+    // brute-force top-k over the int8 index (rows-only: float-tie
+    // boundary; recall vs the float baseline pinned in SimilaritySpec).
+    "q_quantize_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      val idx = Similarity.quantizeInt8(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"))
+      Similarity.bruteForceTopKInt8(idx, q, 20)
+        .select(col("id").as("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     // embedding near-dup pairs, LSH-bucketed (rows-only).
     "q_cosine_dup_pairs" -> ((s, dir) => {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), col("vec_id"),
@@ -105,6 +127,20 @@ object SimilarityQueries {
        |WHERE sim >= 0.2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_quantize" ->
+      """SELECT vec_id,
+        |  CAST(maxabs AS DOUBLE) / 127.0 AS scale,
+        |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS INT) AS q_min,
+        |  CAST(list_max(qv) AS INT) AS q_max
+        |FROM (
+        |  SELECT vec_id, maxabs,
+        |    CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+        |         ELSE list_transform(embedding, x ->
+        |           CAST(round(CAST(x AS DOUBLE) * 127.0 / CAST(maxabs AS DOUBLE)) AS TINYINT)) END AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+        |        FROM embeddings))""".stripMargin,
     "q_cosine_score_native" -> cosineScoreSql,
     "q_cosine_score" ->
       s"""SELECT vec_id, sim FROM (

@@ -47,6 +47,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("int8 quantization: cosine error bounded, top-k recall vs float baseline") {
+    val n = 200
+    val dim = 32
+    val rnd = new scala.util.Random(11)
+    val data = (1 to n).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() - 0.5f)))
+    val df = data.toDF("id", "emb")
+    val query = Seq.fill(dim)(rnd.nextFloat() - 0.5f)
+
+    // per-pair quantized-vs-float cosine error stays inside the int8 grid
+    val idx = Similarity.quantizeInt8(df, col("id"), col("emb"))
+    val qSims = Similarity.bruteForceTopKInt8(idx, query, n)
+      .select("id", "sim").as[(Long, Double)].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val nn = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (nn == 0) 0.0 else d / nn
+    }
+    val maxErr = data.map { case (id, e) => math.abs(qSims(id) - cos(e, query)) }.max
+    assert(maxErr < 0.02, s"quantization cosine error $maxErr")
+
+    // recall@10 of the quantized probe against the float brute force
+    val floatTop = data.sortBy { case (_, e) => -cos(e, query) }.take(10).map(_._1).toSet
+    val int8Top = Similarity.bruteForceTopKInt8(idx, query, 10)
+      .select("id").as[Long].collect().toSet
+    val recall = (floatTop & int8Top).size / 10.0
+    assert(recall >= 0.8, s"int8 recall@10 $recall")
+
+    // scales reconstruct magnitudes: |q| * scale ≈ |emb|
+    val scales = idx.select("id", "scale").as[(Long, Double)].collect().toMap
+    val qvecs = idx.select("id", "q").as[(Long, Seq[Byte])].collect().toMap
+    data.take(20).foreach { case (id, e) =>
+      val qn = math.sqrt(qvecs(id).map(v => v.toDouble * v).sum) * scales(id)
+      val en = math.sqrt(e.map(v => v.toDouble * v).sum)
+      assert(math.abs(qn - en) <= en * 0.01 + 1e-9, s"id=$id |q|*s=$qn |e|=$en")
+    }
+  }
+
   test("ANN bucket probe finds the planted exact-duplicate neighbor") {
     val rnd = new scala.util.Random(13)
     val target = Seq.fill(16)(rnd.nextFloat() - 0.5f)
