@@ -42,6 +42,31 @@ object TextQueries {
         expr("graft_token_count(text)").as("tok_ws"))
     }),
 
+    // PII scrubbing: deterministic PII is planted into every document
+    // (both engines build the identical string), then redacted — each
+    // pattern family is exercised against the oracle's identical RE2
+    // regexes.
+    "q_redact_pii" -> ((s, dir) => {
+      val planted = concat(col("text"), format_string(
+        " contact u%d@ex-%d.com or +1 (555) 010-%04d, card 4111 1111 1111 %04d, ssn 123-45-%04d, host 10.0.%d.%d.",
+        col("doc_id"), pmod(col("doc_id"), lit(7)), pmod(col("doc_id"), lit(10000)),
+        pmod(col("doc_id"), lit(10000)), pmod(col("doc_id"), lit(10000)),
+        pmod(col("doc_id"), lit(256)), pmod(col("doc_id") * 7, lit(256))))
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextOps.redactPii(planted).as("redacted"))
+    }),
+
+    // Gopher-style repetition gate over text with a deterministically
+    // duplicated prefix (so the duplicate-n-gram fraction is non-trivial
+    // on the synthetic corpus).
+    "q_repetition" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" "), substring(col("text"), 1, 60),
+          lit(" "), substring(col("text"), 1, 60)))
+      TextOps.repetition(aug, col("text"), 3)
+        .select(col("doc_id"), col("repetition"))
+    }),
+
     // rolling polynomial fingerprint (xxhash64-based → rows-only check;
     // stability/sensitivity asserted in TextOpsSpec).
     "q_fingerprint" -> ((s, dir) => {
@@ -64,7 +89,41 @@ object TextQueries {
     "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "con", "que", "por"),
     "it" -> Seq("il", "la", "di", "e", "che", "per", "con", "una", "sono", "del"))
 
+  /** The identical RE2 patterns as TextOps.PiiPatterns, applied in the
+    * same order with DuckDB's 'g' flag (Spark replaces all by default).
+    */
+  private val redactSql: String = {
+    val planted =
+      """text || printf(' contact u%d@ex-%d.com or +1 (555) 010-%04d, card 4111 1111 1111 %04d, ssn 123-45-%04d, host 10.0.%d.%d.',
+        |    doc_id, doc_id % 7, doc_id % 10000, doc_id % 10000, doc_id % 10000, doc_id % 256, (doc_id * 7) % 256)""".stripMargin
+    val chain = graft.ops.TextOps.PiiPatterns.foldLeft(s"($planted)") {
+      case (inner, (pat, tok)) =>
+        // DuckDB single-quoted strings take backslashes literally; only
+        // quotes need escaping
+        s"regexp_replace($inner, '${pat.replace("'", "''")}', '$tok', 'g')"
+    }
+    s"SELECT doc_id, $chain AS redacted FROM documents"
+  }
+
+  private val repetitionSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN nt > 0 THEN round(1.0 - nd / nt, 4) ELSE 0.0 END AS repetition
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(ngrams) AS DOUBLE) AS nt,
+       |    CAST(len(list_distinct(ngrams)) AS DOUBLE) AS nd
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len(ws) >= 3
+       |        THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+       |        ELSE CAST([] AS VARCHAR[]) END AS ngrams
+       |    FROM (SELECT doc_id, $wordsSql AS ws
+       |          FROM (SELECT doc_id, text || ' ' || substr(text, 1, 60) || ' ' || substr(text, 1, 60) AS text
+       |                FROM documents))))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_redact_pii" -> redactSql,
+    "q_repetition" -> repetitionSql,
     "q_token_count_native" ->
       s"""SELECT doc_id, CAST(len($wordsSql) AS INT) AS tok_ws
          |FROM documents""".stripMargin,

@@ -57,4 +57,29 @@ class TextOpsSpec extends SparkTestBase {
       .select(TextOps.contentKey(col("text"))).as[String].collect()
     assert(keys(0) == keys(1))
   }
+
+  test("redactPii rewrites every pattern family, leaves clean text alone") {
+    val cases = Seq(
+      "mail bob.smith+x@corp-mail.co.uk now" -> "mail <EMAIL> now",
+      "ssn is 123-45-6789 ok" -> "ssn is <SSN> ok",
+      "card 4111 1111 1111 1111 and 4111-1111-1111-1111" -> "card <CARD> and <CARD>",
+      "host 192.168.0.1 up" -> "host <IP> up",
+      "call +1 (555) 010-9999 today" -> "call <PHONE> today",
+      "no pii in this sentence" -> "no pii in this sentence")
+    val got = cases.map(_._1).toDF("text")
+      .select(TextOps.redactPii(col("text"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("repetition: duplicated n-gram fraction, short/clean texts score 0") {
+    val df = Seq(
+      ("loop", "a b c a b c a b c"), // 7 trigrams, 3 distinct
+      ("clean", "one two three four five"),
+      ("short", "just two")).toDF("id", "text")
+    val got = TextOps.repetition(df, col("text"), 3)
+      .select("id", "repetition").as[(String, Double)].collect().toMap
+    assert(math.abs(got("loop") - (1.0 - 3.0 / 7.0)) < 1e-4)
+    assert(got("clean") == 0.0)
+    assert(got("short") == 0.0)
+  }
 }
