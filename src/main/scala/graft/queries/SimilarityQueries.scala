@@ -18,7 +18,7 @@ object SimilarityQueries {
     */
   private def queryVec(s: SparkSession, dir: String): Seq[Float] = {
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0)
+      .select(col("embedding")).head().getSeq[Float](0)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

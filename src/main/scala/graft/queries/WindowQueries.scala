@@ -187,7 +187,7 @@ object WindowQueries {
       q.awaitTermination()
     }
     runOnce()
-    val maxSec = batch.agg(max(unix_timestamp(col("ts")))).head.getLong(0)
+    val maxSec = batch.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
     val sentinelTs = new java.sql.Timestamp(
       (maxSec + 40L * 86400 + GapSeconds + 86400) * 1000)
     Seq(Turn(sentinelConv, 0, "user", "sentinel", null, sentinelTs)).toDS()
