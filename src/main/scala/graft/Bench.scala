@@ -12,9 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Methodology notes (BENCH.md §1):
   *  - every trial of every level is logged to stderr so a single reported
   *    number can be judged against the run-to-run spread;
-  *  - the reported per-level number is the BEST of SPARK_GRAFT_TRIALS
-  *    trials (+ up to 2 adaptive retries per level when a co-tenant noise
-  *    window is suspected — see the estimator comment in main);
+  *  - the reported per-level number is the BEST of a FIXED
+  *    SPARK_GRAFT_TRIALS trials (see the estimator comment in main);
   *  - micro-batch count is kept small (staged files / filesPerTrigger) so
   *    the per-batch serial driver work (planning, offset/commit log,
   *    sink-job commit — the Amdahl term measured at ~3s/batch in round 1)
@@ -114,33 +113,21 @@ object Bench {
       s.stop()
       trials
     }
-    // Estimator: BEST trial per level. This is a shared-host box:
-    // co-tenant interference is strictly subtractive (it can only slow a
-    // trial down, never speed it up), and it hits the parallel level far
-    // harder than the 1-core level (measured: a noisy window cost the
-    // 4-core level 30% and the 1-core level <3%). The max over trials is
-    // therefore the least-biased estimate of the machine-capability
-    // throughput the north_rule is about. All trials are logged above and
-    // reported below so the spread can be judged.
-    val trialsLoB = scala.collection.mutable.ArrayBuffer(runTrials(loCores, nTrials, 1): _*)
-    val trialsHiB = scala.collection.mutable.ArrayBuffer(runTrials(hiCores, nTrials, 1): _*)
+    // Estimator: BEST of a FIXED number of trials per level. This is a
+    // shared-host box: co-tenant interference is strictly subtractive (it
+    // can only slow a trial down, never speed it up), and it hits the
+    // parallel level far harder than the 1-core level (measured: a noisy
+    // window cost the 4-core level 30% and the 1-core level <3%), so the
+    // max over trials is the least-biased estimate of machine-capability
+    // throughput. The trial count is fixed up front — no retry conditioned
+    // on the measured value, which would be optional stopping and bias the
+    // reported number. All trials are logged above and reported below so
+    // the spread can be judged.
+    val allLo = runTrials(loCores, nTrials, 1)
+    val allHi = runTrials(hiCores, nTrials, 1)
     def best(ts: Seq[Flagship.Result]): Flagship.Result = ts.maxBy(_.turnsPerSec)
-    def eff(): Double =
-      (best(trialsHiB.toSeq).turnsPerSec / best(trialsLoB.toSeq).turnsPerSec) / (hiCores.toDouble / loCores)
-    // Adaptive retry: a transient co-tenant window (observed: ~17 min of
-    // 2x slowdown on parallel work) can depress every base trial of one
-    // level. If the measured efficiency is implausibly low, take up to two
-    // extra trials PER LEVEL (same estimator both levels, so this cannot
-    // manufacture efficiency on a quiet box — extra lo trials can only
-    // raise the denominator) and keep the best. Disclosed in BENCH.md.
-    var extraRounds = 0
-    while (eff() < 0.85 && extraRounds < 2) {
-      extraRounds += 1
-      trialsHiB ++= runTrials(hiCores, 1, nTrials + extraRounds)
-      trialsLoB ++= runTrials(loCores, 1, nTrials + extraRounds)
-    }
-    val (rLo, trialsLo) = (best(trialsLoB.toSeq), trialsLoB.toSeq.map(_.turnsPerSec))
-    val (rHi, trialsHi) = (best(trialsHiB.toSeq), trialsHiB.toSeq.map(_.turnsPerSec))
+    val (rLo, trialsLo) = (best(allLo), allLo.map(_.turnsPerSec))
+    val (rHi, trialsHi) = (best(allHi), allHi.map(_.turnsPerSec))
     graft.util.Tmp.delete(warmDir)
     graft.util.Tmp.delete(inDir)
     val efficiency = (rHi.turnsPerSec / rLo.turnsPerSec) / (hiCores.toDouble / loCores)

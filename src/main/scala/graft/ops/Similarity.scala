@@ -212,9 +212,13 @@ object Similarity {
     */
   def bruteForceTopKInt8(quantized: DataFrame, query: Seq[Float], k: Int): DataFrame = {
     val qmax = query.foldLeft(0f)((m, v) => math.max(m, math.abs(v)))
+    // HALF_UP = half-away-from-zero, the same rule as the Column-side
+    // round() — math.round would round -2.5 toward +inf and disagree
+    // with the stored index on half-integer grid points
     val qq: Seq[Int] =
       if (qmax == 0f) query.map(_ => 0)
-      else query.map(v => math.round(v * 127.0 / qmax).toInt)
+      else query.map(v => BigDecimal(v * 127.0 / qmax)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
     quantized.withColumn("sim", cosine(col("q"), array(qq.map(lit(_)): _*)))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)

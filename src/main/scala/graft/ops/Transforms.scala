@@ -115,7 +115,8 @@ object Transforms {
       cur = step(cur)
       loops += 1
       if (loops % checkpointEvery == 0) cur = cur.localCheckpoint(true)
-      if (cur.isEmpty) return cur
+      // an emptied batch exits here too (no rows survive the filter), so
+      // the reference's empty-batch exit needs no separate isEmpty action
       cond = anyMatch
     }
     cur

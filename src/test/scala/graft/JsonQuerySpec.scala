@@ -164,6 +164,25 @@ class JsonQuerySpec extends SparkTestBase {
     assert(runJq(".xs[-1].v", doc) == "2")
   }
 
+  test("jmespath: mixed-type ordering keys are invalid-type → null (spec)") {
+    val doc = """{"xs":[{"n":1},{"m":2}],"mixed":[1,"a"]}"""
+    assert(run("sort(mixed)", doc) == null)
+    assert(run("max_by(xs, &n)", doc) == null) // one key resolves to null
+    assert(run("sum(mixed)", doc) == null)
+    assert(run("join('-', mixed)", doc) == null)
+  }
+
+  test("jmespath: unknown function / bad arity fails at compile, not per row") {
+    intercept[IllegalArgumentException](JsonQuery.compile("lenght(@)"))
+    intercept[IllegalArgumentException](JsonQuery.compile("length(@, @)"))
+    intercept[IllegalArgumentException](JsonQuery.jqCompile(". | nope(.)"))
+  }
+
+  test("jq: string ending in escaped backslash doesn't break the stage split") {
+    val act = runJq(""".msg = "C:\\" | .seen = true""", """{"x":1}""")
+    assertTreeEq("""{"x":1,"msg":"C:\\","seen":true}""", act)
+  }
+
   // ---- while_test.go ----
 
   private def batchOf(contents: String*) = {
