@@ -1,0 +1,68 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties BENCH.md claims
+  * (broadcast dimension joins, pushdown reaching the scan, top-k via
+  * TakeOrderedAndProject, no cartesian products, no single-partition
+  * global windows in the ANN paths) asserted against the actual physical
+  * plans so a refactor can't silently regress them.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("no oracle query plans a cartesian product") {
+    // every batch query; streaming rigs excluded (they execute, not plan)
+    val batch = SparkEntry.queries.keys.filterNot(_.startsWith("q_stream")).toSeq.sorted
+      .filterNot(Set("q_read_until", "q_while")) // driver-loop rigs execute eagerly
+    batch.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
+
+  test("dimension joins broadcast (q3_shipping, q_branch_enrich)") {
+    assert(plan("q3_shipping").contains("BroadcastHashJoin"))
+    assert(plan("q_branch_enrich").contains("BroadcastHashJoin"))
+  }
+
+  test("filter pushdown reaches the parquet scan (q3_shipping)") {
+    val p = plan("q3_shipping")
+    assert(p.contains("PushedFilters: ["), p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("EqualTo")))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, never a full sort") {
+    Seq("q_topk_convs", "q_cosine_topk", "q_quantize_topk").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q lost its top-k plan")
+    }
+  }
+
+  test("ANN/IVF paths have no single-partition global window") {
+    // the round-1 scale-killer: row_number over Window.orderBy with no
+    // partition spec forces the corpus through one task
+    Seq("q_ivf_topk", "q_ann_topk", "q_cosine_dup_pairs", "q_minhash_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q re-introduced a window stage:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+    }
+  }
+
+  test("column pruning: q_token_count scans only doc_id and text") {
+    val p = plan("q_token_count")
+    val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(schemaLine.contains("doc_id") && schemaLine.contains("text"))
+    assert(!schemaLine.contains("lang") && !schemaLine.contains("source"),
+      s"unpruned scan: $schemaLine")
+  }
+
+  test("conv-keyed pipeline reuses one hash(conv_id) exchange (q_group_by_value)") {
+    val p = plan("q_group_by_value")
+    val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).size
+    // derivation window shuffle + (possibly) agg reuse; must not exceed 2
+    assert(nExchange <= 2, s"q_group_by_value has $nExchange exchanges")
+  }
+}
