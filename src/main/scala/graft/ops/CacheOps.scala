@@ -114,6 +114,26 @@ object CacheOps {
       .drop("__gk")
   }
 
+  /** cache_multilevel (internal/impl/pure/cache_multilevel.go:109-128 Get,
+    * :130-143 write-through Set, :145-183 Add-contends-on-any-level): N
+    * stores combined as levels — the lowest level holding a key serves it
+    * (read-through; promotion is the persistence form of this combined
+    * view), and `get`/`addAnnotate` against the view give exactly the
+    * reference's multilevel get/add contracts because a key exists in the
+    * view iff it exists in any level. One hash(key) shuffle over
+    * dimension-sized stores; the winning level is kept as `level`.
+    */
+  def multilevelView(levels: Seq[DataFrame]): DataFrame = {
+    val tagged = levels.zipWithIndex.map { case (l, i) =>
+      l.select(col("key"), col("value"), lit(i).as("level"))
+    }
+    val w = Window.partitionBy(col("key")).orderBy(col("level"))
+    tagged.reduce(_.unionByName(_))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   // -------------------------------------------------------- streaming tier
 
   /** One cache operation in a stream. `op` ∈ set|add|get|delete. */

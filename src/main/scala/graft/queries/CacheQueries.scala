@@ -58,6 +58,21 @@ object CacheQueries {
           col(Errors.ErrCol).as("get_err"))
     }),
 
+    // multilevel cache view (cache_multilevel.go): L0 holds only the deep
+    // turns' entries, L1 the full store — lookups hit L0 where present and
+    // fall through to L1, with the winning level reported.
+    "q_cache_multilevel" -> ((s, dir) => {
+      val t = Tables.transcripts(s, dir)
+      def userSets(src: DataFrame) = CacheOps.materialize(
+        src.filter(col("role") === "user"),
+        col("conv_id"), lit("set"), col("text"), struct(col("ts"), col("turn_idx")),
+        tsCol = Some(col("ts")))
+      val l0 = userSets(t.filter(col("turn_idx") >= 5))
+      val l1 = userSets(t)
+      CacheOps.multilevelView(Seq(l0, l1))
+        .select(col("key"), col("value"), col("level"))
+    }),
+
     // switch output continue/strict routing: a row may land in several
     // sinks (continue=true) until a stopping case claims it; unmatched
     // rows are flagged instead of dropped (strict_mode).
@@ -107,6 +122,19 @@ object CacheQueries {
         |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // sets-only materialize = last set per key; L0's keys are a subset of
+    // L1's, so the level-priority pick is a left join from L1
+    "q_cache_multilevel" -> (T.stripSuffix("\n") +
+      """, l0 AS (
+        |  SELECT conv_id, text FROM transcripts WHERE role = 'user' AND turn_idx >= 5
+        |  QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, turn_idx DESC) = 1),
+        |l1 AS (
+        |  SELECT conv_id, text FROM transcripts WHERE role = 'user'
+        |  QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, turn_idx DESC) = 1)
+        |SELECT l1.conv_id AS key,
+        |  coalesce(l0.text, l1.text) AS value,
+        |  CASE WHEN l0.conv_id IS NOT NULL THEN 0 ELSE 1 END AS level
+        |FROM l1 LEFT JOIN l0 ON l1.conv_id = l0.conv_id""".stripMargin),
     "q_cache_ops" -> (opsCte +
       """SELECT conv_id AS key, text AS value,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS written_unix

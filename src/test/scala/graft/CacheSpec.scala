@@ -138,6 +138,35 @@ class CacheSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("multilevel view: lowest level wins, fallthrough, get/add against the union (cache_multilevel.go)") {
+    import spark.implicits._
+    val l0 = Seq(("k1", "v1-l0")).toDF("key", "value")
+    val l1 = Seq(("k1", "v1-l1"), ("k2", "v2-l1")).toDF("key", "value")
+    val view = CacheOps.multilevelView(Seq(l0, l1))
+    val m = view.collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // Get: first level holding the key serves it (cache_multilevel.go:109-128)
+    assert(m == Map("k1" -> (("v1-l0", 0)), "k2" -> (("v2-l1", 1))))
+
+    // get through the view: k2 falls through to L1, k3 errors as absent
+    val probes = Seq("k1", "k2", "k3").toDF("k")
+    val got = CacheOps.get(probes, view.select("key", "value"), col("k"), "cached")
+      .select(col("k"), col("cached"), col(graft.ops.Errors.ErrCol))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got("k1") == (("v1-l0", null)))
+    assert(got("k2") == (("v2-l1", null)))
+    assert(got("k3") == ((null, CacheOps.KeyNotFound)))
+
+    // Add contends if ANY level holds the key (cache_multilevel.go:145-163):
+    // adding k2 (present only in L1) must error; k9 succeeds
+    val addLog = view.select(col("key"), lit(0L).as("ord"))
+      .unionByName(Seq(("k2", 1L), ("k9", 1L)).toDF("key", "ord"))
+    val adds = CacheOps.addAnnotate(addLog, col("key"), col("ord"))
+      .filter(col("ord") === 1L)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(adds("k2") == CacheOps.KeyExists)
+    assert(adds("k9") == null)
+  }
+
   private implicit class Tup3Ops(rows: Array[(String, Long, Long)]) {
     def toMap2: Map[String, (Long, Long)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
