@@ -209,4 +209,18 @@ object GroupOps {
       max(value).as("max"),
       min(value).as("min"),
       count(lit(1)).as("n"))
+
+  /** split processor (internal/old/processor/split.go:46-54): re-batch
+    * each group into chunks of at most `size` parts. Physical batching
+    * belongs to micro-batch triggers (SURVEY §2.4), so the split is a
+    * derived batch identity downstream group ops key on — chunk k holds
+    * parts k·size … k·size+size−1 in batch order, like the reference's
+    * size-based splitter.
+    */
+  def splitBatches(df: DataFrame, key: Column, ord: Column, size: Int,
+      out: String = "batch_id"): DataFrame = {
+    require(size > 0, "split size must be positive")
+    val w = Window.partitionBy(key).orderBy(ord)
+    df.withColumn(out, ((row_number().over(w) - 1) / size).cast("int"))
+  }
 }

@@ -25,6 +25,15 @@ object GroupQueries {
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("sum_chars"))
     }),
 
+    // split: re-batch each conversation into chunks of 5 turns; the chunk
+    // is a derived batch identity (reference: internal/old/processor/
+    // split.go:46-54; physical batching is the trigger's job).
+    "q_split" -> ((s, dir) => {
+      GroupOps.splitBatches(Tables.transcripts(s, dir), col("conv_id"),
+        struct(col("ts"), col("turn_idx")), 5)
+        .select(col("conv_id"), col("turn_idx"), col("batch_id"))
+    }),
+
     // archive(json_array): pack each conversation into one ordered row
     // (reference: internal/old/processor/archive.go:59,117).
     "q_archive" -> ((s, dir) => {
@@ -90,6 +99,10 @@ object GroupQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_split" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  CAST((row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) - 1) // 5 AS INT) AS batch_id
+        |FROM transcripts""".stripMargin),
     "q_group_by" -> (T +
       """SELECT g AS "group", count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_chars
         |FROM (SELECT *, CASE WHEN role = 'tool' THEN 'tools'
