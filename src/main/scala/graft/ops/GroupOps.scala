@@ -96,6 +96,28 @@ object GroupOps {
   def archiveConcatenate(parts: Column): Column =
     aggregate(parts, lit(Array.emptyByteArray), (acc, x) => concat(acc, x.cast("binary")))
 
+  /** scanner codec `chunker:n` (internal/codec/reader.go:245-252,607):
+    * consume a blob in fixed chunks of `n` bytes (last chunk short).
+    * `substring` is 1-based and works on BINARY, so the chunk list is a
+    * pure column expression.
+    */
+  def chunker(blob: Column, n: Int): Column = {
+    require(n > 0, "chunker size must be positive")
+    // sequence(0, -1) would DESCEND, so the empty blob needs its own arm
+    when(length(blob) <= 0, array().cast("array<binary>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(length(blob).cast("double") / n).cast("int") - 1),
+        i => substring(blob.cast("binary"), lit(1) + i * n, lit(n))))
+  }
+
+  /** scanner codec `regex:pattern` (reader.go:254-257): segment a text
+    * blob at matches of the pattern (segment boundaries BEFORE each
+    * match, like the reference's line-anchored example).
+    */
+  def regexSegments(blob: Column, pattern: String): Column =
+    filter(split(regexp_replace(blob, s"(?=$pattern)", "\u0000"), "\u0000"),
+      s => length(s) > 0)
+
   /** format `binary` (archive.go footnotes): 4-byte big-endian message
     * count, then per part a 4-byte big-endian length + content. // UDF
     */

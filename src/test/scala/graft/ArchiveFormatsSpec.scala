@@ -73,6 +73,25 @@ class ArchiveFormatsSpec extends SparkTestBase {
     assert(zlibHead.length < text.length / 4)
   }
 
+  test("chunker codec slices fixed-size chunks, short tail (codec/reader.go:245)") {
+    import spark.implicits._
+    val df = Seq("abcdefgh", "ab", "").toDF("t")
+    val got = df.select(transform(GroupOps.chunker(col("t"), 3), b => b.cast("string")))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("abc", "def", "gh"))
+    assert(got(1) == Seq("ab"))
+    assert(got(2) == Seq.empty)
+  }
+
+  test("regex codec segments before each match (codec/reader.go:254)") {
+    import spark.implicits._
+    val log = "12:00:01 first line\n12:00:02 second\n12:00:03 third"
+    val got = Seq(log).toDF("t")
+      .select(GroupOps.regexSegments(col("t"), "(?m)^\\d\\d:\\d\\d:\\d\\d"))
+      .as[Seq[String]].head()
+    assert(got == Seq("12:00:01 first line\n", "12:00:02 second\n", "12:00:03 third"))
+  }
+
   test("avro to_json/from_json round-trips against a record schema") {
     val schema =
       """{"type":"record","name":"T","fields":[
