@@ -124,6 +124,7 @@ object CacheOps {
     * dimension-sized stores; the winning level is kept as `level`.
     */
   def multilevelView(levels: Seq[DataFrame]): DataFrame = {
+    require(levels.nonEmpty, "multilevel cache needs at least one level")
     val tagged = levels.zipWithIndex.map { case (l, i) =>
       l.select(col("key"), col("value"), lit(i).as("level"))
     }

@@ -103,20 +103,25 @@ object GroupOps {
     */
   def chunker(blob: Column, n: Int): Column = {
     require(n > 0, "chunker size must be positive")
+    // the codec chunks BYTES: count and slice both on the binary form
+    // (length() on a StringType is characters - a non-ASCII string would
+    // lose its tail bytes if the count came from the string length)
+    val bin = blob.cast("binary")
     // sequence(0, -1) would DESCEND, so the empty blob needs its own arm
-    when(length(blob) <= 0, array().cast("array<binary>"))
+    when(length(bin) <= 0, array().cast("array<binary>"))
       .otherwise(transform(
-        sequence(lit(0), ceil(length(blob).cast("double") / n).cast("int") - 1),
-        i => substring(blob.cast("binary"), lit(1) + i * n, lit(n))))
+        sequence(lit(0), ceil(length(bin).cast("double") / n).cast("int") - 1),
+        i => substring(bin, lit(1) + i * n, lit(n))))
   }
 
   /** scanner codec `regex:pattern` (reader.go:254-257): segment a text
     * blob at matches of the pattern (segment boundaries BEFORE each
-    * match, like the reference's line-anchored example).
+    * match, like the reference's line-anchored example). The split
+    * pattern is a zero-width lookahead, so no sentinel character is
+    * injected and blobs containing any byte value segment correctly.
     */
   def regexSegments(blob: Column, pattern: String): Column =
-    filter(split(regexp_replace(blob, s"(?=$pattern)", "\u0000"), "\u0000"),
-      s => length(s) > 0)
+    filter(split(blob, s"(?=$pattern)"), s => length(s) > 0)
 
   /** format `binary` (archive.go footnotes): 4-byte big-endian message
     * count, then per part a 4-byte big-endian length + content. // UDF

@@ -132,7 +132,7 @@ object CacheQueries {
         |  SELECT conv_id, text FROM transcripts WHERE role = 'user'
         |  QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, turn_idx DESC) = 1)
         |SELECT l1.conv_id AS key,
-        |  coalesce(l0.text, l1.text) AS value,
+        |  CASE WHEN l0.conv_id IS NOT NULL THEN l0.text ELSE l1.text END AS value,
         |  CASE WHEN l0.conv_id IS NOT NULL THEN 0 ELSE 1 END AS level
         |FROM l1 LEFT JOIN l0 ON l1.conv_id = l0.conv_id""".stripMargin),
     "q_cache_ops" -> (opsCte +

@@ -92,6 +92,20 @@ class ArchiveFormatsSpec extends SparkTestBase {
     assert(got == Seq("12:00:01 first line\n", "12:00:02 second\n", "12:00:03 third"))
   }
 
+  test("chunker counts bytes, not chars; regex codec preserves NUL bytes") {
+    import spark.implicits._
+    // "ééé" is 3 chars but 6 UTF-8 bytes → two 3-byte chunks
+    val chunks = Seq("ééé").toDF("t")
+      .select(GroupOps.chunker(col("t"), 3)).as[Seq[Array[Byte]]].head()
+    assert(chunks.map(_.length) == Seq(3, 3))
+    assert(chunks.flatten.toSeq == "ééé".getBytes("UTF-8").toSeq)
+    // a NUL inside the blob is data, not a segment boundary
+    val seg = Seq("a\u0000b\n12:00:00 x").toDF("t")
+      .select(GroupOps.regexSegments(col("t"), "(?m)^\\d\\d:\\d\\d:\\d\\d"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("a\u0000b\n", "12:00:00 x"))
+  }
+
   test("avro to_json/from_json round-trips against a record schema") {
     val schema =
       """{"type":"record","name":"T","fields":[

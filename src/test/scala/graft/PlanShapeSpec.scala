@@ -8,11 +8,14 @@ package graft
   */
 class PlanShapeSpec extends SparkTestBase {
 
-  private val dir = "/root/testdata/sf0.001"
-  private def plan(name: String): String = {
+  private val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+  // memoized: building some similarity queries runs real driver jobs
+  // (query-vector head(), IVF centroid sample) — plan each query once
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def plan(name: String): String = planCache.getOrElseUpdate(name, {
     val df = SparkEntry.queries(name)(spark, dir)
     df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-  }
+  })
 
   test("no oracle query plans a cartesian product") {
     // every batch query; streaming rigs excluded (they execute, not plan)
