@@ -137,6 +137,23 @@ object WindowQueries {
             col("n_turns"), col("sum_chars"))
       })),
 
+    // streaming dedupe through the engine: dropDuplicates keyed state
+    // emits each content key exactly once across micro-batches (and
+    // across checkpoint resumes). The output is the KEY SET alone — the
+    // surviving row's identity depends on arrival order inside a batch,
+    // so a survivor-free projection is the cross-engine-stable contract
+    // (survivor determinism is the batch q_dedupe_exact's job; TTL-bounded
+    // streaming dedupe state is Dedupe.streamingDedupe, StreamingParitySpec).
+    "q_stream_dedupe" -> ((s, dir) => {
+      val sentinelKey = java.security.MessageDigest.getInstance("MD5")
+        .digest("sentinel".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      replayStreamed(s, dir, "zzz-sentinel", { stream =>
+        stream.withWatermark("ts", "40 days")
+          .select(graft.ops.TextOps.contentKey(substring(col("text"), 1, 16)).as("ckey"))
+          .dropDuplicates("ckey")
+      }, sentinelFilter = Some(col("ckey") =!= sentinelKey))
+    }),
+
     // read_until through the real engine: consume the ts-ordered stream
     // until the first deep tool turn; that row is kept flagged
     // `read_until_final`, everything after it is dropped and the query
@@ -172,7 +189,8 @@ object WindowQueries {
       s: SparkSession,
       dir: String,
       sentinelConv: String,
-      pipeline: DataFrame => DataFrame): DataFrame = {
+      pipeline: DataFrame => DataFrame,
+      sentinelFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     val batch = Tables.transcripts(s, dir)
     val work = graft.util.Tmp.dir("qstream")
@@ -195,7 +213,7 @@ object WindowQueries {
     runOnce()
     runOnce()
     Sink.readCommitted(s, s"$work/out")
-      .filter(col("conv_id") =!= sentinelConv)
+      .filter(sentinelFilter.getOrElse(col("conv_id") =!= sentinelConv))
       .drop("_batch_id", "_partition_id")
   }
 
@@ -308,5 +326,8 @@ object WindowQueries {
   /** The streaming engine runs answer to the same SQL as their batch twins. */
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q_stream_sliding_agg" -> oraclesBase("q_sliding_agg"),
-    "q_stream_session_window" -> oraclesBase("q_session_window_native"))
+    "q_stream_session_window" -> oraclesBase("q_session_window_native"),
+    "q_stream_dedupe" -> (T +
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(substr(text, 1, 16)), '\s+', ' ', 'g'))) AS ckey
+        |FROM transcripts""".stripMargin))
 }
