@@ -58,6 +58,31 @@ object CacheQueries {
           col(Errors.ErrCol).as("get_err"))
     }),
 
+    // the streaming cache tier through the real engine: every turn is a
+    // cache operation (user=set, assistant=add, tool=get/delete by turn
+    // parity) applied against flatMapGroupsWithState keyed state across
+    // micro-batches and checkpointed phases; the committed per-op outputs
+    // (get results, add contention, the error flags) must match the SQL
+    // state reconstruction — live-ness segments between deletes make the
+    // sequential semantics window-expressible (an add is rejected iff ANY
+    // prior write exists in its segment, regardless of that write's own
+    // acceptance).
+    "q_stream_cache" -> ((s, dir) => {
+      import s.implicits._
+      WindowQueries.replayStreamed(s, dir, "zzz-sentinel", { stream =>
+        val ops = stream.select(
+          col("conv_id").as("key"),
+          when(col("role") === "user", "set")
+            .when(col("role") === "assistant", "add")
+            .when(pmod(col("turn_idx"), lit(2)) === 0, "get")
+            .otherwise("delete").as("op"),
+          col("text").as("value"),
+          col("ts")).as[CacheOps.CacheOp]
+        CacheOps.streamApply(ops, ttlSeconds = 0L, lateness = "40 days").toDF()
+      }, sentinelFilter = Some(col("key") =!= "zzz-sentinel"))
+        .select(col("key"), col("op"), col("value"), col("errored"), col("ts"))
+    }),
+
     // multilevel cache view (cache_multilevel.go): L0 holds only the deep
     // turns' entries, L1 the full store — lookups hit L0 where present and
     // fall through to L1, with the winning level reported.
@@ -121,7 +146,53 @@ object CacheQueries {
         |  FROM staged)
         |""".stripMargin
 
+  /** Sequential cache semantics reconstructed relationally: deletes cut
+    * each key's op sequence into segments; within a segment, liveness at
+    * an op = any prior set/add exists, the served value = last set if any
+    * else the first add (which was necessarily accepted).
+    */
+  private val streamCacheSql: String =
+    T.stripSuffix("\n") +
+      """, ops2 AS (
+        |  SELECT conv_id, turn_idx, ts, text,
+        |    CASE WHEN role = 'user' THEN 'set'
+        |         WHEN role = 'assistant' THEN 'add'
+        |         WHEN turn_idx % 2 = 0 THEN 'get'
+        |         ELSE 'delete' END AS op
+        |  FROM transcripts),
+        |segd AS (
+        |  SELECT *, sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+        |            ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM ops2),
+        |scanned AS (
+        |  SELECT *,
+        |    count(CASE WHEN op IN ('set','add') THEN 1 END)
+        |      OVER (PARTITION BY conv_id, seg ORDER BY ts, turn_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_writes,
+        |    last_value(CASE WHEN op = 'set' THEN text END IGNORE NULLS)
+        |      OVER (PARTITION BY conv_id, seg ORDER BY ts, turn_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_set_val,
+        |    first_value(CASE WHEN op = 'add' THEN text END IGNORE NULLS)
+        |      OVER (PARTITION BY conv_id, seg ORDER BY ts, turn_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_add_val
+        |  FROM segd)
+        |SELECT conv_id AS key, op,
+        |  CASE op
+        |    WHEN 'set' THEN text
+        |    WHEN 'add' THEN CASE WHEN coalesce(prior_writes, 0) > 0 THEN NULL ELSE text END
+        |    WHEN 'get' THEN CASE WHEN coalesce(prior_writes, 0) > 0
+        |                         THEN coalesce(last_set_val, first_add_val) END
+        |    ELSE NULL END AS value,
+        |  CASE op
+        |    WHEN 'add' THEN coalesce(prior_writes, 0) > 0
+        |    WHEN 'get' THEN coalesce(prior_writes, 0) = 0
+        |    ELSE FALSE END AS errored,
+        |  ts
+        |FROM scanned""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_stream_cache" -> streamCacheSql,
     // sets-only materialize = last set per key; L0's keys are a subset of
     // L1's, so the level-priority pick is a left join from L1
     "q_cache_multilevel" -> (T.stripSuffix("\n") +

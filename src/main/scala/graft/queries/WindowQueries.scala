@@ -185,7 +185,7 @@ object WindowQueries {
     * cycle so event-time state flushes), and return the committed rows
     * minus the sentinel's.
     */
-  private def replayStreamed(
+  private[queries] def replayStreamed(
       s: SparkSession,
       dir: String,
       sentinelConv: String,
