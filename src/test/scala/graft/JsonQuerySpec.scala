@@ -228,6 +228,19 @@ class JsonQuerySpec extends SparkTestBase {
     assert(out.isEmpty)
   }
 
+  test("while: long loops truncate lineage via localCheckpoint and stay correct") {
+    import spark.implicits._
+    // 20 decrement iterations with checkpointEvery=4: the checkpoint arm
+    // runs 5 times and the result still reaches the fixpoint
+    val out = Transforms.whileLoop(
+      Seq(20, 3).toDF("v"),
+      col("v") > 0,
+      d => d.withColumn("v", greatest(col("v") - 1, lit(0))),
+      maxLoops = 64,
+      checkpointEvery = 4)
+    assert(out.select("v").as[Int].collect().toSeq == Seq(0, 0))
+  }
+
   test("while: fixpoint halving matches closed form") {
     import spark.implicits._
     val df = Seq(("d1", "x" * 553), ("d2", "y" * 64), ("d3", "z" * 65)).toDF("id", "text")
