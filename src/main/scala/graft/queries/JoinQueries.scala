@@ -66,6 +66,20 @@ object JoinQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity", "order_date", "order_total")
     }),
 
+    // the same hydration with the broadcast knob for dimension-sized
+    // parents (VERDICT r1 §wrong-7): the fact side is never shuffled —
+    // same oracle SQL, different physical plan (PlanShapeSpec pins the
+    // BroadcastHashJoin).
+    "q_hydrate_bcast" -> ((s, dir) => {
+      val children = Tables.lineitem(s, dir)
+      val parents = Tables.orders(s, dir)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Joins.hydrate(children, parents, Seq("l_orderkey"),
+        Map("o_orderdate" -> "order_date", "o_totalprice" -> "order_total"),
+        broadcastParents = true)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "order_date", "order_total")
+    }),
+
     // TPC-H Q3 shape: broadcast customer dim, shuffle join orders⋈lineitem,
     // aggregate, top-10 (not in the reference — free from Catalyst;
     // SURVEY.md §2.5 end note).
@@ -114,6 +128,10 @@ object JoinQueries {
         |  coalesce(a.sum_chars, u.sum_chars) AS sum_chars
         |FROM u RIGHT JOIN a ON u.conv_id = a.conv_id""".stripMargin),
     "q_hydrate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  o_orderdate AS order_date, o_totalprice AS order_total
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_hydrate_bcast" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  o_orderdate AS order_date, o_totalprice AS order_total
         |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,

@@ -27,9 +27,10 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("dimension joins broadcast (q3_shipping, q_branch_enrich)") {
+  test("dimension joins broadcast (q3_shipping, q_branch_enrich, q_hydrate_bcast)") {
     assert(plan("q3_shipping").contains("BroadcastHashJoin"))
     assert(plan("q_branch_enrich").contains("BroadcastHashJoin"))
+    assert(plan("q_hydrate_bcast").contains("BroadcastHashJoin"))
   }
 
   test("filter pushdown reaches the parquet scan (q3_shipping)") {
