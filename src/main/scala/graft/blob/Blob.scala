@@ -31,6 +31,22 @@ object Blob {
   def batchIndex(w: WindowSpec): Column = row_number().over(w) - lit(1)
   def batchSize(key: Column): Column = count(lit(1)).over(Window.partitionBy(key))
 
+  /** from(i) (query/methods.go:153): evaluate a field in the context of
+    * batch part i — the i-th value of the column within the group's batch
+    * order (null when the batch is shorter).
+    */
+  def from(field: Column, key: Column, ord: Column, i: Int): Column =
+    // get() is 0-based and null out-of-bounds (element_at ERRORS under ANSI)
+    get(fromAll(field, key, ord), lit(i))
+
+  /** from_all() (query/methods.go:195): the field across the WHOLE batch
+    * as an array, in batch order — the windowed-reduce building block
+    * (GroupOps.reduceBatch / golden windowed.yaml use the agg form).
+    */
+  def fromAll(field: Column, key: Column, ord: Column): Column =
+    collect_list(field).over(Window.partitionBy(key).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+
   // ------------------------------------------------------------ core fns /
   /** content() (functions.go:216) — the payload column. */
   def content(payload: Column): Column = payload

@@ -156,6 +156,18 @@ object TransformQueries {
         size(Blob.keys(col("meta"))).as("n_keys"))
     }),
 
+    // batch-context access: from(i) reads a field at batch position i,
+    // from_all() the whole batch as an ordered array (query/methods.go:
+    // 153,195) — window forms over the conversation batch.
+    "q_from_batch" -> ((s, dir) => {
+      val ord = struct(col("ts"), col("turn_idx"))
+      Tables.transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        Blob.from(col("text"), col("conv_id"), ord, 0).as("first_text"),
+        Blob.from(col("text"), col("conv_id"), ord, 2).as("third_text"),
+        size(Blob.fromAll(col("text"), col("conv_id"), ord)).as("n_batch"))
+    }),
+
     // jmespath processor (internal/old/processor/jmespath.go:143-161):
     // the query compiles once, runs per document, and the result replaces
     // the document. The program below exercises filters, projections,
@@ -305,6 +317,14 @@ object TransformQueries {
         |  CAST(turn_idx AS VARCHAR) AS m_idx,
         |  3 AS n_keys
         |FROM transcripts""".stripMargin),
+    "q_from_batch" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  first_value(text) OVER w AS first_text,
+        |  nth_value(text, 3) OVER w AS third_text,
+        |  CAST(count(*) OVER (PARTITION BY conv_id) AS INT) AS n_batch
+        |FROM transcripts
+        |WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
     "q_jmespath" -> (T +
       """SELECT conv_id,
         |  CAST(count(*) FILTER (WHERE role = 'assistant') AS INT) AS n_assistant,
