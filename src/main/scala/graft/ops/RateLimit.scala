@@ -92,4 +92,59 @@ object RateLimit {
     val w = Window.partitionBy(bucket).orderBy(ord)
     df.withColumn("throttled", row_number().over(w) > count)
   }
+
+  /** One row's admission verdict from the streaming limiter. */
+  final case class RlOut(conv_id: String, turn_idx: Int, throttled: Boolean,
+      ts: java.sql.Timestamp)
+
+  /** Keyed-state admission counter (public: state encoder codegen). */
+  final case class BucketCount(admitted: Long)
+
+  /** The rate limiter as a SHARED streaming stage: the admission counter
+    * is keyed state on the event-time bucket, carried across micro-batches
+    * and checkpoint resumes — the streaming analogue of the reference's
+    * named rate_limit resource that multiple stages consult
+    * (rate_limit_local.go:54-92; processor access rate_limit.go:45).
+    * Rows beyond `count` within a bucket are flagged, exactly
+    * `annotateOverflow`'s event-time rule (the oracle is shared). Bucket
+    * state is one counter, evicted when the watermark passes bucket end.
+    */
+  def streamAnnotate(
+      turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+      count: Int,
+      intervalSeconds: Long,
+      lateness: String): org.apache.spark.sql.Dataset[RlOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.withWatermark("ts", lateness)
+      .groupByKey(t => t.ts.getTime / (intervalSeconds * 1000))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        admit(count, intervalSeconds))
+  }
+
+  private def admit(count: Int, intervalSeconds: Long)(
+      bucket: Long,
+      incoming: Iterator[graft.model.Turn],
+      state: org.apache.spark.sql.streaming.GroupState[BucketCount]): Iterator[RlOut] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      // the counter ranks EVERY row (throttled included), matching the
+      // row_number() form; within a batch, event-time order
+      var n = state.getOption.map(_.admitted).getOrElse(0L)
+      val out = incoming.toSeq
+        .sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+        .map { t =>
+          n += 1
+          RlOut(t.conv_id, t.turn_idx, n > count, t.ts)
+        }
+      state.update(BucketCount(n))
+      state.setTimeoutTimestamp(math.max(
+        (bucket + 1) * intervalSeconds * 1000 + 1,
+        state.getCurrentWatermarkMs() + 1))
+      out.iterator
+    }
+  }
 }

@@ -120,6 +120,17 @@ object CacheQueries {
       RateLimit.annotateOverflow(df, col("ts"),
         struct(col("ts"), col("conv_id"), col("turn_idx")), 50, 3600L)
         .select(col("conv_id"), col("turn_idx"), col("throttled"))
+    }),
+
+    // the SAME rate limit as a streaming stage: the admission counter is
+    // keyed state on the hour bucket, carried across micro-batches and
+    // checkpointed phases — must match the batch plan's oracle
+    // row-for-row.
+    "q_stream_rate_limit" -> ((s, dir) => {
+      import s.implicits._
+      WindowQueries.replayStreamed(s, dir, "zzz-sentinel", { stream =>
+        RateLimit.streamAnnotate(stream.as[graft.model.Turn], 50, 3600L, "40 days").toDF()
+      }).select(col("conv_id"), col("turn_idx"), col("throttled"))
     }))
 
   private val opsCte: String =
@@ -236,11 +247,14 @@ object CacheQueries {
         |  CASE WHEN NOT (role = 'user' OR length(text) > 40 OR turn_idx = 0 OR role = 'tool')
         |       THEN 'message does not match any cases' END AS route_err
         |FROM transcripts""".stripMargin),
-    "q_rate_limit" -> (T +
-      """SELECT conv_id, turn_idx,
-        |  row_number() OVER (
-        |    PARTITION BY floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600)
-        |    ORDER BY ts, conv_id, turn_idx) > 50 AS throttled
-        |FROM transcripts""".stripMargin)
+    "q_rate_limit" -> rateLimitSql,
+    "q_stream_rate_limit" -> rateLimitSql
   )
+
+  private lazy val rateLimitSql: String = T +
+    """SELECT conv_id, turn_idx,
+      |  row_number() OVER (
+      |    PARTITION BY floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600)
+      |    ORDER BY ts, conv_id, turn_idx) > 50 AS throttled
+      |FROM transcripts""".stripMargin
 }
