@@ -44,8 +44,13 @@ object Blob {
     * (GroupOps.reduceBatch / golden windowed.yaml use the agg form).
     */
   def fromAll(field: Column, key: Column, ord: Column): Column =
-    collect_list(field).over(Window.partitionBy(key).orderBy(ord)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    // collect_list drops null elements; wrapping in a struct keeps null
+    // parts at their batch positions (a struct with a null field is
+    // itself non-null)
+    transform(
+      collect_list(struct(field.as("v"))).over(Window.partitionBy(key).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+      s => s.getField("v"))
 
   // ------------------------------------------------------------ core fns /
   /** content() (functions.go:216) — the payload column. */

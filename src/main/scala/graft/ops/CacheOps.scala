@@ -187,7 +187,10 @@ object CacheOps {
       val out = Seq.newBuilder[CacheOut]
       // file-stream arrival order ≠ ts order: apply in event-time order so
       // replay equals the batch window form (CacheSpec parity)
-      incoming.toSeq.sortBy(o => (o.ts.getTime, o.op)).foreach { o =>
+      // full-precision event-time order: getTime truncates to ms while the
+      // data carries microseconds (getNanos recovers them); op name is only
+      // a final stabilizer for exact-ts ties
+      incoming.toSeq.sortBy(o => (o.ts.getTime / 1000, o.ts.getNanos, o.op)).foreach { o =>
         val t = o.ts.getTime
         o.op match {
           case "set" =>

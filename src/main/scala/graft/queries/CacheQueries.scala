@@ -113,12 +113,16 @@ object CacheQueries {
           col(Errors.ErrCol).as("route_err"))
     }),
 
-    // rate_limit event-time admission plan: at most 50 turns admitted per
-    // hour bucket, overflow flagged for drop_on/DLQ routing.
+    // rate_limit event-time admission plan: at most 4 turns admitted per
+    // hour bucket, overflow flagged for drop_on/DLQ routing (4 sits below
+    // the per-hour row counts at BOTH oracle scales — sf0.001 peaks at 6,
+    // sf0.01 at 30 — so the threshold genuinely fires in every
+    // correctness run; a never-exceeded limit would make the oracle
+    // vacuously all-false).
     "q_rate_limit" -> ((s, dir) => {
       val df = Tables.transcripts(s, dir)
       RateLimit.annotateOverflow(df, col("ts"),
-        struct(col("ts"), col("conv_id"), col("turn_idx")), 50, 3600L)
+        struct(col("ts"), col("conv_id"), col("turn_idx")), 4, 3600L)
         .select(col("conv_id"), col("turn_idx"), col("throttled"))
     }),
 
@@ -129,7 +133,7 @@ object CacheQueries {
     "q_stream_rate_limit" -> ((s, dir) => {
       import s.implicits._
       WindowQueries.replayStreamed(s, dir, "zzz-sentinel", { stream =>
-        RateLimit.streamAnnotate(stream.as[graft.model.Turn], 50, 3600L, "40 days").toDF()
+        RateLimit.streamAnnotate(stream.as[graft.model.Turn], 4, 3600L, "40 days").toDF()
       }).select(col("conv_id"), col("turn_idx"), col("throttled"))
     }))
 
@@ -255,6 +259,6 @@ object CacheQueries {
     """SELECT conv_id, turn_idx,
       |  row_number() OVER (
       |    PARTITION BY floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600)
-      |    ORDER BY ts, conv_id, turn_idx) > 50 AS throttled
+      |    ORDER BY ts, conv_id, turn_idx) > 4 AS throttled
       |FROM transcripts""".stripMargin
 }

@@ -104,6 +104,11 @@ object JoinQueries {
         |        FROM transcripts WHERE role = 'assistant' GROUP BY 1)
         |""".stripMargin
 
+  private lazy val hydrateSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  o_orderdate AS order_date, o_totalprice AS order_total
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_sharded_join_replace" -> (sidesCte +
       """SELECT coalesce(u.conv_id, a.conv_id) AS conv_id,
@@ -127,14 +132,8 @@ object JoinQueries {
         |  coalesce(a.n, u.n) AS n,
         |  coalesce(a.sum_chars, u.sum_chars) AS sum_chars
         |FROM u RIGHT JOIN a ON u.conv_id = a.conv_id""".stripMargin),
-    "q_hydrate" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  o_orderdate AS order_date, o_totalprice AS order_total
-        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
-    "q_hydrate_bcast" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  o_orderdate AS order_date, o_totalprice AS order_total
-        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_hydrate" -> hydrateSql,
+    "q_hydrate_bcast" -> hydrateSql, // same SQL by construction; plans differ
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -195,7 +195,10 @@ object WindowQueries {
     val batch = Tables.transcripts(s, dir)
     val work = graft.util.Tmp.dir("qstream")
     val inDir = s"$work/in"
-    batch.orderBy(col("ts")).coalesce(8).write.parquet(inDir)
+    // total order incl. tie-breaks: the rate-limit/cache rigs' outputs
+    // depend on cross-micro-batch arrival order, so batch boundaries must
+    // respect the oracle's (ts, conv_id, turn_idx) order exactly
+    batch.orderBy(col("ts"), col("conv_id"), col("turn_idx")).coalesce(8).write.parquet(inDir)
     val schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
     def turnsStream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 4).parquet(inDir)

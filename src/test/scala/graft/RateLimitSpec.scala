@@ -41,6 +41,35 @@ class RateLimitSpec extends SparkTestBase {
     assert(got == Map(1 -> false, 2 -> false, 3 -> true, 4 -> false))
   }
 
+  test("streamAnnotate carries the admission counter across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.model.Turn
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+    def turn(i: Int, s: Long) = Turn(s"c$i", i, "user", "t", null, ts(s))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    val outDir = java.nio.file.Files.createTempDirectory("rl-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("rl-ck").toString
+    def runOnce(): Unit = {
+      val q = RateLimit.streamAnnotate(mem.toDS(), count = 2, intervalSeconds = 60L, "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: two rows in bucket 0 exhaust the limit of 2
+    mem.addData(turn(1, 0), turn(2, 10))
+    runOnce()
+    // batch 2 (separate micro-batch AND checkpoint resume): a third row in
+    // bucket 0 must be throttled by the PERSISTED counter; bucket 1 is fresh
+    mem.addData(turn(3, 20), turn(4, 70))
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .select("turn_idx", "throttled").as[(Int, Boolean)].collect().toMap
+    assert(got == Map(1 -> false, 2 -> false, 3 -> true, 4 -> false))
+  }
+
   test("switch fallthrough chains the next case's transform") {
     val df = Seq(("r1", 1), ("r2", 10), ("r3", 100)).toDF("id", "v")
     // case0 matches v<5 and falls through into case1's transform
