@@ -137,8 +137,13 @@ object CacheOps {
 
   // -------------------------------------------------------- streaming tier
 
-  /** One cache operation in a stream. `op` ∈ set|add|get|delete. */
-  final case class CacheOp(key: String, op: String, value: String, ts: Timestamp)
+  /** One cache operation in a stream. `op` ∈ set|add|get|delete; `ord` is
+    * a stable per-key ordinal that breaks exact-timestamp ties (the
+    * oracle's ORDER BY ts, turn_idx — op name is not a safe stand-in once
+    * two ops can share a ts).
+    */
+  final case class CacheOp(key: String, op: String, value: String, ts: Timestamp,
+      ord: Int = 0)
 
   /** Result of one operation: `value` is the cached value for `get`s,
     * `errored` carries the reference's error-flag contract.
@@ -188,9 +193,10 @@ object CacheOps {
       // file-stream arrival order ≠ ts order: apply in event-time order so
       // replay equals the batch window form (CacheSpec parity)
       // full-precision event-time order: getTime truncates to ms while the
-      // data carries microseconds (getNanos recovers them); op name is only
-      // a final stabilizer for exact-ts ties
-      incoming.toSeq.sortBy(o => (o.ts.getTime / 1000, o.ts.getNanos, o.op)).foreach { o =>
+      // data carries microseconds (getNanos recovers them); `ord` (the
+      // caller's stable ordinal, e.g. turn_idx) breaks exact-ts ties the
+      // same way the oracle's ORDER BY ts, turn_idx does
+      incoming.toSeq.sortBy(o => (o.ts.getTime / 1000, o.ts.getNanos, o.ord)).foreach { o =>
         val t = o.ts.getTime
         o.op match {
           case "set" =>

@@ -62,7 +62,12 @@ object RateLimit {
     */
   def throttle(df: DataFrame, count: Int, intervalMs: Long): DataFrame = {
     val parts = math.max(df.rdd.getNumPartitions, 1)
-    val perPart = math.max(count / parts, 1)
+    // ceil: the limit is never under-provisioned to the point of starving
+    // a partition. Note when parts > count every partition still gets a
+    // 1-token bucket, so the aggregate admission rate is parts/interval >
+    // count/interval — shrink the partition count (coalesce) if the
+    // configured rate must be a hard aggregate bound.
+    val perPart = math.max((count + parts - 1) / parts, 1)
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
     df.mapPartitions { rows =>
       val bucket = new TokenBucket(perPart, intervalMs)
@@ -132,10 +137,14 @@ object RateLimit {
       Iterator.empty
     } else {
       // the counter ranks EVERY row (throttled included), matching the
-      // row_number() form; within a batch, event-time order
+      // row_number() form; within a batch, event-time order at FULL
+      // microsecond precision — getTime truncates to ms while the data
+      // carries microseconds (getNanos recovers them), so two rows in the
+      // same bucket differing only sub-millisecond must not be re-ranked
+      // vs the oracle's ORDER BY ts
       var n = state.getOption.map(_.admitted).getOrElse(0L)
       val out = incoming.toSeq
-        .sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+        .sortBy(t => (t.ts.getTime / 1000, t.ts.getNanos, t.conv_id, t.turn_idx))
         .map { t =>
           n += 1
           RlOut(t.conv_id, t.turn_idx, n > count, t.ts)

@@ -77,7 +77,8 @@ object CacheQueries {
             .when(pmod(col("turn_idx"), lit(2)) === 0, "get")
             .otherwise("delete").as("op"),
           col("text").as("value"),
-          col("ts")).as[CacheOps.CacheOp]
+          col("ts"),
+          col("turn_idx").as("ord")).as[CacheOps.CacheOp]
         CacheOps.streamApply(ops, ttlSeconds = 0L, lateness = "40 days").toDF()
       }, sentinelFilter = Some(col("key") =!= "zzz-sentinel"))
         .select(col("key"), col("op"), col("value"), col("errored"), col("ts"))

@@ -33,6 +33,10 @@ object ReadUntil {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     @volatile var finished = false
     @volatile var queryRef: StreamingQuery = null
+    // foreachBatch for batch 0 can run before start() returns: the stopper
+    // must wait until queryRef is published or a first-batch terminator
+    // would leave the query running forever under continuous triggers
+    val started = new java.util.concurrent.CountDownLatch(1)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -55,8 +59,8 @@ object ReadUntil {
                 finished = true
                 // stop from a side thread once this batch commits
                 val stopper = new Thread(() => {
-                  val qq = queryRef
-                  if (qq != null) qq.stop()
+                  started.await()
+                  queryRef.stop()
                 })
                 stopper.setDaemon(true)
                 stopper.start()
@@ -66,6 +70,7 @@ object ReadUntil {
       }
       .start()
     queryRef = q
+    started.countDown()
     q
   }
 }

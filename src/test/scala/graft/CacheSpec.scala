@@ -115,7 +115,7 @@ class CacheSpec extends SparkTestBase {
 
   test("streaming add contention matches batch addAnnotate over a replayed log") {
     implicit val sqlCtx = spark.sqlContext
-    val addOps = turns.map(t => CacheOp(t.conv_id, "add", t.text, t.ts))
+    val addOps = turns.map(t => CacheOp(t.conv_id, "add", t.text, t.ts, t.turn_idx))
     val mem = MemoryStream[CacheOp]
     mem.addData(addOps)
     val outDir = Files.createTempDirectory("cadd-out").toString
