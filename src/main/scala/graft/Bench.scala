@@ -2,24 +2,38 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Driver-run benchmark: one JSON line with per-query batch timings at
-  * SPARK_GRAFT_CPUS cores, plus the north_rule scaling measurement — the
-  * flagship streaming session-join pipeline run on the SAME staged input
-  * at two parallelism levels (N and 4N cores, the sandbox proxy for N vs
-  * 4N executors), reporting turns/sec at both and scaling efficiency
-  * = (T_hi/T_lo)/(hi/lo), required ≥ 0.8 (BASELINE.json north_rule).
+/** Driver-run benchmark. Prints ONE COMPACT machine-parseable JSON line to
+  * stdout (size-bounded: the driver's captured output tail is finite, and
+  * rounds 1–2 lost their perf record to an oversized line) and writes the
+  * full detail — per-query timings for every SparkEntry query, every trial
+  * of every scaling level, the skew comparison — to `bench_detail.json`
+  * (and stderr).
   *
-  * Methodology notes (BENCH.md §1):
-  *  - every trial of every level is logged to stderr so a single reported
-  *    number can be judged against the run-to-run spread;
-  *  - the reported per-level number is the BEST of a FIXED
-  *    SPARK_GRAFT_TRIALS trials (see the estimator comment in main);
-  *  - micro-batch count is kept small (staged files / filesPerTrigger) so
-  *    the per-batch serial driver work (planning, offset/commit log,
-  *    sink-job commit — the Amdahl term measured at ~3s/batch in round 1)
-  *    doesn't dominate the high-core run;
-  *  - data layout and shuffle/state partitioning are IDENTICAL across
-  *    levels (a cluster resize changes executors, not partitioning).
+  * Measurements, all on deterministic staged transcript streams:
+  *  - per-query batch timings at SPARK_GRAFT_CPUS cores over
+  *    SPARK_GRAFT_SF_DIR (exhausted via toRdd so projections are costed);
+  *  - the flagship streaming session-join pipeline at full node width,
+  *    BEST of a fixed SPARK_GRAFT_TRIALS trials (same estimator as the
+  *    scaling levels, so the headline carries its own spread), plus a
+  *    latency-shaped trigger config (small filesPerTrigger → many small
+  *    micro-batches → tuned p99 instead of a 2-giant-batch artifact);
+  *  - the north_rule scaling measurement at BOTH level pairs: the
+  *    BASELINE.md-spirited 2→8 proxy and the bandwidth-unsaturated 1→4
+  *    proxy (see BENCH.md §"scaling" for why one box under-reports the
+  *    high pair: 4N executors bring 4× memory bandwidth, one socket
+  *    doesn't), efficiency = (tps_hi/tps_lo)/(hi/lo) per pair;
+  *  - the skew regime (north_star: salting for hot conversations):
+  *    hotConvs dominated input through unsalted fmgws, salted fmgws, and
+  *    the tws ListState engine, three-way.
+  *
+  * Methodology (BENCH.md §1): every trial is logged to stderr; the
+  * reported per-level number is the BEST of a FIXED trial count (noise on
+  * this shared host is strictly subtractive and hits parallel levels
+  * hardest; the count is fixed up front — no optional stopping); data
+  * layout and shuffle/state partitioning are IDENTICAL across levels (a
+  * cluster resize changes executors, not partitioning); micro-batch count
+  * is small so the per-batch serial driver term (~3 s/batch: planning,
+  * offset/commit log, sink commit) doesn't dominate the high-core run.
   */
 object Bench {
 
@@ -50,103 +64,167 @@ object Bench {
   private def exhaust(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  private def f(d: Double): String =
+    BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def fs(ds: Seq[Double]): String = ds.map(f).mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // N vs 4N cores, both below the single node's memory-bandwidth
-    // saturation point (~8 cores / ~1M turns/s on this box — see BENCH.md;
-    // on a real cluster 4N executors adds 4x bandwidth, in one JVM the
-    // cores share a single memory bus, so the scaling evidence uses the
-    // unsaturated region).
-    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "1").toInt
-    val hiCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "4").toInt
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1500000").toLong
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "32").toInt
     val fpt = sys.env.getOrElse("SPARK_GRAFT_FPT", "16").toInt
+    val latFpt = sys.env.getOrElse("SPARK_GRAFT_LAT_FPT", "2").toInt
     val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    // both level pairs: BASELINE.md's 8-vs-32-spirited low proxy (2→8)
+    // first, then the bandwidth-unsaturated 1→4 proxy
+    val pairs: Seq[(Int, Int)] = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2:8,1:4")
+      .split(",").toSeq.filter(_.nonEmpty)
+      .map { p => val Array(a, b) = p.split(":"); (a.toInt, b.toInt) }
+    // skew regime: 4 hot conversations at ~20000x the median turn count —
+    // ~44% of all turns land in 4 keys, so a hot key is ~3x one
+    // partition's whole baseline load (hot=4/mult=2000 over 200k convs
+    // was only a 16% bump on one partition — not a skew regime)
+    val skewConvs = sys.env.getOrElse("SPARK_GRAFT_SKEW_CONVS", "100000").toLong
+    val hotConvs = sys.env.getOrElse("SPARK_GRAFT_SKEW_HOT", "4").toInt
+    val hotMult = sys.env.getOrElse("SPARK_GRAFT_SKEW_MULT", "20000").toInt
+    val skewSalt = sys.env.getOrElse("SPARK_GRAFT_SKEW_SALT", "8").toInt
     val scalingOnly = sys.env.contains("SPARK_GRAFT_SCALING_ONLY")
+    val skipSkew = sys.env.get("SPARK_GRAFT_SKEW").contains("0")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
 
     // ---- batch query timings -------------------------------------------
+    // failures are surfaced (stderr + sentinel -1), never folded into the
+    // total as if they were timings
     val results: Seq[(String, Double)] = if (scalingOnly) Seq.empty else {
       val spark = session(cpus)
       // absorb JVM/codegen warmup so the first measured query isn't penalized
       spark.range(10000000L).selectExpr("sum(id * 2)").collect()
       val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          exhaust(fn(spark, sfDir))
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            name -> -1.0
+        }
       }
       spark.stop()
       rs
     }
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val nFailed = results.count(_._2 < 0)
 
-    // ---- scaling: same staged input, two parallelism levels ------------
-    // The experiment mirrors a cluster resize: the DATA LAYOUT and shuffle
-    // partitioning are IDENTICAL across runs (2×hi partitions; a real job
-    // keeps spark.sql.shuffle.partitions fixed while executors vary) —
-    // only the core count changes. Each session gets a warmup pass on a
-    // small staged stream so codegen/state-store init is excluded.
-    val parts = 2 * hiCores
+    // ---- stage deterministic inputs once -------------------------------
     val sGen = session(cpus)
     val warmDir = Flagship.stage(sGen, 2000L, nFiles = fpt)
     val inDir = Flagship.stage(sGen, nConvs, nFiles = nFiles)
+    val skewDir = if (skipSkew) "" else
+      Flagship.stage(sGen, skewConvs, nFiles = nFiles, hotConvs = hotConvs, hotMult = hotMult)
     sGen.stop()
 
-    // ---- headline flagship throughput at full node width ----------------
-    // (the single-node sustained-turns/sec + p99 figure; the scaling
-    // evidence below deliberately runs in the UNSATURATED core range)
+    // ---- headline flagship at full node width: best of fixed trials ----
     val sFull = session(cpus, 2 * cpus)
-    Flagship.runStaged(sFull, warmDir, filesPerTrigger = fpt)
-    val rFull = Flagship.runStaged(sFull, inDir, filesPerTrigger = fpt)
+    Flagship.runStaged(sFull, warmDir, filesPerTrigger = fpt) // warmup
+    val fullTrials = (1 to nTrials).map { i =>
+      val r = Flagship.runStaged(sFull, inDir, filesPerTrigger = fpt)
+      System.err.println(f"[bench] flagship cores=$cpus trial=$i turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs")
+      r
+    }
+    val rFull = fullTrials.maxBy(_.turnsPerSec)
+    // latency-shaped trigger config: small filesPerTrigger → many small
+    // micro-batches → p99 is a per-batch latency, not half the runtime
+    val rLat = Flagship.runStaged(sFull, inDir, filesPerTrigger = latFpt)
+    System.err.println(f"[bench] flagship latency-cfg fpt=$latFpt turns_per_sec=${rLat.turnsPerSec}%.0f p99=${rLat.p99LatencyMs}ms")
     sFull.stop()
-    System.err.println(
-      f"[bench] flagship cores=$cpus turns_per_sec=${rFull.turnsPerSec}%.0f p99=${rFull.p99LatencyMs}ms")
-    def runTrials(cores: Int, n: Int, firstTrialNo: Int): Seq[Flagship.Result] = {
+
+    // ---- skew regime: unsalted / salted / tws under hot conversations --
+    val skewRuns: Seq[(String, Flagship.Result)] = if (skipSkew) Seq.empty else {
+      val s = session(8, 16)
+      Flagship.runStaged(s, warmDir, filesPerTrigger = fpt) // warmup
+      val runs = Seq(
+        "fmgws" -> Flagship.runStaged(s, skewDir, fpt, engine = "fmgws"),
+        "fmgws_salted" -> Flagship.runStaged(s, skewDir, fpt, engine = "fmgws", salt = skewSalt),
+        "tws" -> Flagship.runStaged(s, skewDir, fpt, engine = "tws"))
+      runs.foreach { case (n, r) =>
+        System.err.println(f"[bench] skew $n turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs")
+      }
+      s.stop()
+      runs
+    }
+    if (!skipSkew) graft.util.Tmp.delete(skewDir)
+
+    // ---- scaling: same staged input, all distinct parallelism levels ---
+    // Data layout and shuffle partitioning IDENTICAL across levels (fixed
+    // parts; a real cluster resize changes executors, not partitioning).
+    val levels = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val parts = 2 * levels.max
+    def runTrials(cores: Int): Seq[Flagship.Result] = {
       val s = session(cores, parts)
-      Flagship.runStaged(s, warmDir, filesPerTrigger = fpt)
-      val trials = (0 until n).map { i =>
+      Flagship.runStaged(s, warmDir, filesPerTrigger = fpt) // warmup
+      val trials = (1 to nTrials).map { i =>
         val r = Flagship.runStaged(s, inDir, filesPerTrigger = fpt)
-        System.err.println(
-          f"[bench] scaling trial cores=$cores trial=${firstTrialNo + i} turns_per_sec=${r.turnsPerSec}%.0f elapsed=${r.elapsedSec}%.1fs")
+        System.err.println(f"[bench] scaling trial cores=$cores trial=$i turns_per_sec=${r.turnsPerSec}%.0f elapsed=${r.elapsedSec}%.1fs")
         r
       }
       s.stop()
       trials
     }
-    // Estimator: BEST of a FIXED number of trials per level. This is a
-    // shared-host box: co-tenant interference is strictly subtractive (it
-    // can only slow a trial down, never speed it up), and it hits the
-    // parallel level far harder than the 1-core level (measured: a noisy
-    // window cost the 4-core level 30% and the 1-core level <3%), so the
-    // max over trials is the least-biased estimate of machine-capability
-    // throughput. The trial count is fixed up front — no retry conditioned
-    // on the measured value, which would be optional stopping and bias the
-    // reported number. All trials are logged above and reported below so
-    // the spread can be judged.
-    val allLo = runTrials(loCores, nTrials, 1)
-    val allHi = runTrials(hiCores, nTrials, 1)
-    def best(ts: Seq[Flagship.Result]): Flagship.Result = ts.maxBy(_.turnsPerSec)
-    val (rLo, trialsLo) = (best(allLo), allLo.map(_.turnsPerSec))
-    val (rHi, trialsHi) = (best(allHi), allHi.map(_.turnsPerSec))
+    val byLevel: Map[Int, Seq[Flagship.Result]] =
+      levels.map(c => c -> runTrials(c)).toMap
     graft.util.Tmp.delete(warmDir)
     graft.util.Tmp.delete(inDir)
-    val efficiency = (rHi.turnsPerSec / rLo.turnsPerSec) / (hiCores.toDouble / loCores)
+    def bestTps(c: Int): Double = byLevel(c).map(_.turnsPerSec).max
+    val pairJsons = pairs.map { case (lo, hi) =>
+      val eff = (bestTps(hi) / bestTps(lo)) / (hi.toDouble / lo)
+      System.err.println(f"[bench] scaling pair $lo->$hi tps_lo=${bestTps(lo)}%.0f tps_hi=${bestTps(hi)}%.0f efficiency=$eff%.3f")
+      s"""{"lo":$lo,"hi":$hi,"tps_lo":${f(bestTps(lo))},"tps_hi":${f(bestTps(hi))},"efficiency":${f(eff)}}"""
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ---- full detail: sidecar file + stderr ----------------------------
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def fs(ds: Seq[Double]): String = ds.map(f).mkString("[", ",", "]")
+    val levelsJson = levels.map { c =>
+      s""""c$c":${fs(byLevel(c).map(_.turnsPerSec))}"""
+    }.mkString("{", ",", "}")
+    val skewJson =
+      if (skewRuns.isEmpty) "null"
+      else skewRuns.map { case (n, r) =>
+        s""""$n":{"turns_per_sec":${f(r.turnsPerSec)},"p99_latency_ms":${r.p99LatencyMs},""" +
+          s""""elapsed_sec":${f(r.elapsedSec)},"max_state_rows":${r.maxStateRows},""" +
+          s""""max_state_bytes":${r.maxStateBytes}}"""
+      }.mkString(s"""{"convs":$skewConvs,"hot":$hotConvs,"hot_mult":$hotMult,"salt":$skewSalt,""", ",", "}")
+    val flagshipTrialsJson = fs(fullTrials.map(_.turnsPerSec))
+    val detail =
+      s"""{"sf":"$sfDir","cpus":$cpus,"n_convs":$nConvs,"n_files":$nFiles,"fpt":$fpt,""" +
+        s""""trials_per_level":$nTrials,"total_query_sec":${f(total)},"failed_queries":$nFailed,""" +
+        s""""queries":$qs,""" +
+        s""""flagship_trials_tps":$flagshipTrialsJson,""" +
+        s""""flagship_best":{"turns":${rFull.turns},"pairs":${rFull.pairs},"turns_per_sec":${f(rFull.turnsPerSec)},""" +
+        s""""elapsed_sec":${f(rFull.elapsedSec)},"p99_latency_ms":${rFull.p99LatencyMs},""" +
+        s""""max_state_rows":${rFull.maxStateRows},"max_state_bytes":${rFull.maxStateBytes}},""" +
+        s""""latency_cfg":{"fpt":$latFpt,"turns_per_sec":${f(rLat.turnsPerSec)},"p99_latency_ms":${rLat.p99LatencyMs}},""" +
+        s""""scaling_trials_tps":$levelsJson,""" +
+        s""""scaling_pairs":${pairJsons.mkString("[", ",", "]")},""" +
+        s""""skew":$skewJson}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detail.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    System.err.println(s"[bench-detail] $detail")
+
+    // ---- the ONE compact stdout line (size-bounded ~800 bytes: no
+    // per-query map — that detail lives in bench_detail.json/stderr) -----
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+        s""""failed_queries":$nFailed,"detail":"$detailPath",""" +
         s""""flagship":{"cores":$cpus,"turns":${rFull.turns},"pairs":${rFull.pairs},""" +
-        s""""turns_per_sec":${f(rFull.turnsPerSec)},""" +
+        s""""turns_per_sec":${f(rFull.turnsPerSec)},"trials_tps":$flagshipTrialsJson,""" +
         s""""p99_latency_ms":${rFull.p99LatencyMs},"max_state_rows":${rFull.maxStateRows},""" +
-        s""""max_state_bytes":${rFull.maxStateBytes}},""" +
-        s""""scaling":{"cores_lo":$loCores,"cores_hi":$hiCores,""" +
-        s""""turns_per_sec_lo":${f(rLo.turnsPerSec)},"turns_per_sec_hi":${f(rHi.turnsPerSec)},""" +
-        s""""elapsed_lo_sec":${f(rLo.elapsedSec)},"elapsed_hi_sec":${f(rHi.elapsedSec)},""" +
-        s""""trials_lo":${fs(trialsLo)},"trials_hi":${fs(trialsHi)},""" +
-        s""""efficiency":${f(efficiency)}}}""")
+        s""""max_state_bytes":${rFull.maxStateBytes},""" +
+        s""""latency_cfg":{"fpt":$latFpt,"turns_per_sec":${f(rLat.turnsPerSec)},"p99_latency_ms":${rLat.p99LatencyMs}}},""" +
+        s""""scaling":${pairJsons.mkString("[", ",", "]")},""" +
+        s""""skew":${if (skewRuns.isEmpty) "null" else skewRuns.map { case (n, r) => s""""$n":${f(r.turnsPerSec)}""" }.mkString(s"""{"hot":$hotConvs,"hot_mult":$hotMult,""", ",", "}")}}""")
   }
 }

@@ -35,10 +35,10 @@ object Flagship {
     * multiple parallelism levels by Bench for the scaling measurement.
     */
   def stage(spark: SparkSession, nConvs: Long, nFiles: Int = 16,
-      hotConvs: Int = 0): String = {
+      hotConvs: Int = 0, hotMult: Int = 20): String = {
     val work = graft.util.Tmp.dir("flagship")
     val inDir = s"$work/in"
-    TranscriptGen.transcripts(spark, nConvs, 42L, hotConvs)
+    TranscriptGen.transcripts(spark, nConvs, 42L, hotConvs, hotMult)
       .orderBy(col("ts"))
       .coalesce(nFiles)
       .write.parquet(inDir)
@@ -56,17 +56,28 @@ object Flagship {
   /** Run the pipeline over an already-staged input dir. `engine` selects
     * the stateful operator: "fmgws" (flatMapGroupsWithState) or "tws"
     * (transformWithState with incremental ListState — see SessionJoinTws).
+    * `salt` > 0 inserts the north_star's hot-key salted repartition before
+    * the stateful stage: the hot conversation's per-turn map work spreads
+    * over `salt` tasks instead of landing in one (the state stage itself
+    * re-shuffles on conv_id regardless — that skew is what engine=tws
+    * addresses via incremental ListState appends).
     */
   def runStaged(spark: SparkSession, inDir: String, filesPerTrigger: Int = 4,
-      engine: String = "fmgws"): Result = {
+      engine: String = "fmgws", salt: Int = 0): Result = {
     import spark.implicits._
     val work = graft.util.Tmp.dir("flagship-run")
     val metrics = Metrics.install(spark)
-    val turns = spark.readStream
+    val turnsRaw = spark.readStream
       .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inDir)
       .as[Turn]
+    val turns =
+      if (salt <= 0) turnsRaw
+      else {
+        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        SessionJoin.saltedRepartition(turnsRaw.toDF(), parts, salt).as[Turn]
+      }
 
     val paired = engine match {
       case "tws" => SessionJoinTws.pairStreaming(turns, SessionJoin.DefaultGapSeconds, "10 minutes")

@@ -43,12 +43,15 @@ object TranscriptGen {
     * p≈0.2); ts monotone with 1..90s jitter; ~5% late stragglers (ts dips
     * below the previous turn); a >30min session gap every ~8 turns.
     */
-  def turnsFor(seed: Long, convIdx: Long, hotConvs: Int = 0): Seq[Turn] = {
+  def turnsFor(seed: Long, convIdx: Long, hotConvs: Int = 0,
+      hotMult: Int = 20): Seq[Turn] = {
     val convId = f"conv-$convIdx%06d"
-    // Zipf-ish skew: the first `hotConvs` convs get 40 turns plus a
-    // multiplier so a few conversations dominate (exercises salting).
+    // Zipf-ish skew: the first `hotConvs` convs get their turn count
+    // multiplied by `hotMult` so a few conversations dominate (exercises
+    // salting and the per-key state-size regime — the skew bench raises
+    // hotMult until one conversation is a visible fraction of the stream).
     val base = 2 + (pos(rnd(seed, convIdx, 1L)) % 39).toInt
-    val n = if (convIdx < hotConvs) base * 20 else base
+    val n = if (convIdx < hotConvs) base * hotMult else base
     val startTs = BaseEpoch + convIdx % 1000 * 3600 + pos(rnd(seed, convIdx, 2L)) % 1800
     var ts = startTs
     (0 until n).map { i =>
@@ -74,8 +77,9 @@ object TranscriptGen {
   /** Distributed generation: conv ids ranged across the cluster, turns
     * expanded map-side.
     */
-  def transcripts(spark: SparkSession, nConvs: Long, seed: Long = 42L, hotConvs: Int = 0): Dataset[Turn] = {
+  def transcripts(spark: SparkSession, nConvs: Long, seed: Long = 42L,
+      hotConvs: Int = 0, hotMult: Int = 20): Dataset[Turn] = {
     import spark.implicits._
-    spark.range(nConvs).flatMap(i => turnsFor(seed, i, hotConvs))
+    spark.range(nConvs).flatMap(i => turnsFor(seed, i, hotConvs, hotMult))
   }
 }
