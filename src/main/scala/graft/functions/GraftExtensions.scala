@@ -40,6 +40,17 @@ object GraftExtensions {
               "graft_ngram_jaccard expects (a, b, n: literal int)"))
         NgramJaccard(args(0), args(1), args(2).eval().asInstanceOf[Number].intValue())
       }),
+    ("graft_lsh_bucket", "random-hyperplane LSH bucket id (emb, bits, seed)",
+      args => {
+        if (args.length != 3 || !args(1).foldable || !args(2).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              "graft_lsh_bucket expects (emb, bits: literal int, seed: literal int)"))
+        LshBucket(args(0),
+          args(1).eval().asInstanceOf[Number].intValue(),
+          args(2).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_minhash_sig", "one-pass MinHash signature (text, k, numHashes)",
       args => {
         // k/numHashes shape the output schema, so they must be literal at

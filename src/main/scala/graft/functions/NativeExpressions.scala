@@ -152,6 +152,55 @@ object Native {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** Random-hyperplane weight table for the LSH bucket hash, precomputed
+    * once per (bits, dims, seed) and cached — the per-row work is then a
+    * pure fused dot-product pass. Weight derivation is EXACTLY the HOF
+    * column form's `(xxhash64(j, b, seed) % 1000) / 500.0 - 1.0` chain
+    * (XxHash64 starts at seed 42 and folds each argument), so the native
+    * bucket is bit-identical to `Similarity.lshBucket` (pinned in
+    * SimilaritySpec).
+    */
+  private val lshCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def lshWeights(bits: Int, dims: Int, seed: Int): Array[Double] =
+    lshCache.computeIfAbsent((bits, dims, seed), { _ =>
+      val w = new Array[Double](bits * dims)
+      var b = 0
+      while (b < bits) {
+        var j = 0
+        while (j < dims) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(seed,
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b,
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, 42L)))
+          w(b * dims + j) = (h % 1000L).toDouble / 500.0 - 1.0
+          j += 1
+        }
+        b += 1
+      }
+      w
+    })
+
+  /** One fused pass over the vector: all `bits` hyperplane projections
+    * accumulated in element order (the same left fold as the interpreted
+    * `aggregate`/`zip_with` form, so signs — and buckets — are
+    * bit-identical), at scan speed instead of per-element lambda cost.
+    */
+  def lshBucket(emb: ArrayData, bits: Int, seed: Int): Long = {
+    val n = emb.numElements()
+    val w = lshWeights(bits, n, seed)
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      val off = b * n
+      var j = 0
+      while (j < n) { proj += emb.getFloat(j).toDouble * w(off + j); j += 1 }
+      if (proj >= 0) bucket |= 1L << b
+      b += 1
+    }
+    bucket
+  }
+
   /** Character n-gram Jaccard of two strings in one fused pass — the
     * native form of `Dedupe.charNgrams` + `jaccard` (distinct n-length
     * codepoint windows; |A∩B| / |A∪B|, 0 on empty union). The HOF form
@@ -244,6 +293,21 @@ case class NgramJaccard(left: Expression, right: Expression, n: Int)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.ngramJaccard($a, $b, $n)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramJaccard =
     copy(left = l, right = r)
+}
+
+/** graft_lsh_bucket(emb, bits, seed): codegen'd random-hyperplane LSH
+  * bucket id over ARRAY<FLOAT> — one fused pass per row.
+  */
+case class LshBucket(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override protected def nullSafeEval(input: Any): Any =
+    Native.lshBucket(input.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.lshBucket($c, $bits, $seed)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
 }
 
 /** graft_cosine(a, b): codegen'd cosine over ARRAY<FLOAT>. */

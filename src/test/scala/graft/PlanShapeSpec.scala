@@ -40,9 +40,54 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("top-k queries use TakeOrderedAndProject, never a full sort") {
-    Seq("q_topk_convs", "q_cosine_topk", "q_quantize_topk").foreach { q =>
-      assert(plan(q).contains("TakeOrderedAndProject"), s"$q lost its top-k plan")
+    assert(plan("q_topk_convs").contains("TakeOrderedAndProject"),
+      "q_topk_convs lost its top-k plan")
+    // the threshold-with-ties queries run their k-th-boundary sub-query
+    // eagerly; that sub-query is where the top-k plan must live
+    val scored = spark.range(100).selectExpr("id AS vec_id", "id * 0.01 AS sim")
+    val boundary = graft.ops.Similarity.kthBoundary(scored, "sim", 20)
+    val p = boundary.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"kthBoundary lost its per-partition top-k plan:\n$p")
+  }
+
+  test("IVF centroid sample is one TakeOrderedAndProject, no global window") {
+    // the round-1 scale-killer: row_number over an unpartitioned Window
+    // sorted the whole corpus through one task to pick 16 centroids
+    val named = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id AS id", "embedding AS emb")
+    val p = graft.ops.Similarity.centroidCandidates(named, 16)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), s"centroid pick lost top-k:\n$p")
+    assert(!p.contains("Window"), s"centroid pick re-introduced a window:\n$p")
+  }
+
+  test("q_cosine_dup_pairs bucket exchange carries no embedding payload") {
+    // the round-2 fix: the bucket self-join exchanges ONLY (bucket, id);
+    // embeddings re-attach later via id-keyed broadcast joins — if `emb`
+    // rides through a bucket-keyed Exchange, the thin-exchange discipline
+    // has regressed
+    val p = plan("q_cosine_dup_pairs")
+    // every exchange node (shuffle OR broadcast — AQE broadcasts the
+    // bucket join at small SF) that carries the bucket key must be thin
+    val sections = p.split("""\(\d+\) (Exchange|BroadcastExchange)""").drop(1)
+    val inputs = sections.flatMap(
+      _.linesIterator.find(_.startsWith("Input")))
+    val bucketExchanges = inputs.filter(_.contains("bucket#"))
+    assert(bucketExchanges.nonEmpty, s"expected a bucket-keyed exchange in:\n$p")
+    bucketExchanges.foreach { inp =>
+      assert(!inp.contains("emb"), s"embedding payload in bucket exchange:\n$inp")
     }
+  }
+
+  test("q_session_join shuffles conv_id exactly once") {
+    // conv_id is derived BEFORE the window stack precisely so all four
+    // window passes + the pair filter reuse one hash(conv_id) exchange
+    val p = plan("q_session_join")
+    val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(nExchange == 1, s"q_session_join has $nExchange exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
   test("ANN/IVF paths have no single-partition global window") {
