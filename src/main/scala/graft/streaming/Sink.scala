@@ -22,13 +22,19 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   *
   *   1. if `_commits/<batchId>` exists → batch already published, skip
   *      (the replay path after a crash between write and checkpoint).
-  *   2. write `data/_batch_id=<id>/` parquet with lineage columns
-  *      `_batch_id` and `_partition_id` (spark_partition_id of the task
-  *      that produced each row).
-  *   3. atomically create `_commits/<batchId>` (CREATE_NEW).
+  *   2. write `data/b<id>-<attempt>/` parquet — a UNIQUE directory per
+  *      attempt — with lineage columns `_batch_id` and `_partition_id`
+  *      (spark_partition_id of the task that produced each row).
+  *   3. atomically create `_commits/<batchId>` (CREATE_NEW) whose CONTENT
+  *      names the attempt directory (the manifest-names-the-files Iceberg
+  *      shape). The loser of a concurrent-attempt race deletes its own
+  *      directory; it never touches the winner's files.
   *
-  * Readers take only partitions listed in `_commits` (see `readCommitted`),
-  * so a crash between 2 and 3 leaves invisible orphans, never duplicates.
+  * Readers resolve `_commits` manifests to the named directories (see
+  * `readCommitted`), so a crash between 2 and 3 leaves invisible orphans,
+  * never duplicates — and because no attempt ever writes into a directory
+  * a manifest can already name, a reader racing an in-flight re-attempt
+  * can never observe partial files (SinkSpec pins this).
   */
 object Sink {
 
@@ -37,15 +43,30 @@ object Sink {
     Files.createDirectories(commitDir)
     val marker = commitDir.resolve(batchId.toString)
     if (Files.exists(marker)) return // replayed batch: already published
+    // unique per-attempt dir: re-attempts never overwrite data a reader
+    // could be resolving, and orphans of crashed attempts are invisible
+    val attemptDir = s"b$batchId-${java.util.UUID.randomUUID().toString.take(8)}"
     batch
       .withColumn("_batch_id", lit(batchId))
       .withColumn("_partition_id", spark_partition_id())
       .write
-      .mode("overwrite") // re-attempt of an uncommitted batch overwrites orphans
-      .parquet(s"$outDir/data/b$batchId") // no leading '_': Spark hides such dirs
-    try Files.write(marker, Array.emptyByteArray, StandardOpenOption.CREATE_NEW)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      .parquet(s"$outDir/data/$attemptDir") // no leading '_': Spark hides such dirs
+    try Files.write(marker, attemptDir.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // lost a concurrent-attempt race: the other attempt's manifest is
+        // the committed truth — remove this attempt's files
+        deleteRecursively(Paths.get(outDir, "data", attemptDir))
+    }
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** Streaming writer wired to the idempotent committer. */
   def exactlyOnce[T](
@@ -58,22 +79,29 @@ object Sink {
       .trigger(trigger)
       .foreachBatch((b: Dataset[T], id: Long) => writeBatchIdempotent(outDir)(b.toDF(), id))
 
-  /** Read back only committed batches. */
+  /** Read back only committed batches: each `_commits/<id>` manifest names
+    * the attempt directory that was published for that batch (empty
+    * manifest = the pre-manifest layout `b<id>`, kept readable).
+    */
   def readCommitted(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
     val commitDir = Paths.get(outDir, "_commits")
-    val committed: Set[Long] =
-      if (!Files.exists(commitDir)) Set.empty
+    val committed: Seq[(Long, String)] =
+      if (!Files.exists(commitDir)) Seq.empty
       else {
         val s = Files.list(commitDir)
         try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-          .asScala.map(_.getFileName.toString.toLong).toSet
+          .asScala.map { p =>
+            val id = p.getFileName.toString.toLong
+            val named = new String(Files.readAllBytes(p), "UTF-8").trim
+            id -> (if (named.isEmpty) s"b$id" else named)
+          }.toSeq
         finally s.close()
       }
     if (committed.isEmpty)
       spark.emptyDataFrame
     else
       spark.read
-        .parquet(committed.toSeq.sorted.map(id => s"$outDir/data/b$id"): _*)
+        .parquet(committed.sortBy(_._1).map { case (_, d) => s"$outDir/data/$d" }: _*)
   }
 
   /** Fan-out broker (reference: internal/impl/pure/output_broker.go:90,164

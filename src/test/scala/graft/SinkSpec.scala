@@ -26,11 +26,50 @@ class SinkSpec extends SparkTestBase {
     val out = freshDir()
     Sink.writeBatchIdempotent(out)(Seq(1).toDF("v"), 0L)
     // simulate: batch 5 wrote data but crashed before the commit marker
-    Seq(9, 9, 9).toDF("v").write.parquet(s"$out/data/b5")
+    Seq(9, 9, 9).toDF("v").write.parquet(s"$out/data/b5-dead0000")
     assert(Sink.readCommitted(spark, out).count() == 1)
-    // the re-attempt overwrites the orphans and commits exactly once
+    // the re-attempt writes a fresh attempt dir and commits exactly once;
+    // the crashed attempt's orphans stay invisible forever
     Sink.writeBatchIdempotent(out)(Seq(9, 9).toDF("v"), 5L)
     assert(Sink.readCommitted(spark, out).count() == 3)
+  }
+
+  test("a reader racing an in-flight re-attempt sees only committed rows") {
+    val out = freshDir()
+    Sink.writeBatchIdempotent(out)(Seq(1).toDF("v"), 0L)
+    // batch 7's first attempt crashed mid-write: a PARTIAL file (not even
+    // valid parquet) sits in its attempt dir, no manifest
+    Files.createDirectories(Paths.get(out, "data", "b7-aaaa0000"))
+    Files.write(Paths.get(out, "data", "b7-aaaa0000", "part-00000.parquet"),
+      "partial garbage".getBytes)
+    // a re-attempt is now in flight, also mid-write in ITS OWN dir
+    Files.createDirectories(Paths.get(out, "data", "b7-bbbb1111"))
+    Files.write(Paths.get(out, "data", "b7-bbbb1111", "part-00000.parquet"),
+      "more garbage".getBytes)
+    // the manifest protocol never lets a reader resolve an uncommitted
+    // attempt dir, so the garbage is invisible — the read doesn't even fail
+    assert(Sink.readCommitted(spark, out).count() == 1)
+    // the re-attempt completes: exactly the committed rows appear
+    Sink.writeBatchIdempotent(out)(Seq(7, 7).toDF("v"), 7L)
+    assert(Sink.readCommitted(spark, out).count() == 3)
+  }
+
+  test("concurrent attempts of one batch: one commits, the loser cleans up") {
+    val out = freshDir()
+    val batch = Seq(1, 2, 3).toDF("v")
+    val t1 = new Thread(() => Sink.writeBatchIdempotent(out)(batch, 9L))
+    val t2 = new Thread(() => Sink.writeBatchIdempotent(out)(batch, 9L))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(Sink.readCommitted(spark, out).count() == 3) // never twice
+    // whichever interleaving happened, the losing attempt removed its dir:
+    // only the manifest-named directory remains
+    val dirs = Files.list(Paths.get(out, "data")).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val names = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).toList
+    val named = new String(
+      Files.readAllBytes(Paths.get(out, "_commits", "9")), "UTF-8").trim
+    assert(names == List(named), s"leftover attempt dirs: $names vs committed $named")
   }
 
   test("lineage columns record batch and producing partition") {
