@@ -38,7 +38,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   private def session(cores: Int, shufflePartitions: Int = -1): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions",
@@ -51,7 +51,25 @@ object Bench {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // commit per-batch deltas instead of full snapshots
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      .getOrCreate()
+      // the default 8 MB block cache forces every per-key get() of a
+      // multi-hundred-MB-per-partition state store back to (tmpfs) SST
+      // files + block decompression — pure memory-bandwidth burn on the
+      // high-core levels. Sized so the hot working set stays cached; on a
+      // real cluster pair it with boundedMemoryUsage to cap the total.
+      .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "512")
+      // fewer memtable flush/compaction cycles per micro-batch commit
+      .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "256")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
+      // with changelog checkpointing the snapshot upload is pure
+      // maintenance; at the default 60 s it fires MID-TRIAL and steals
+      // cores + bandwidth from measured work (observed as a 2x slow
+      // outlier trial at 8 cores). A real cluster runs maintenance on
+      // idle executor threads; here it's deferred past the run.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    // ad-hoc experiment overrides: "k=v;k=v" applied last
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

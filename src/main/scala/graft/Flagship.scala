@@ -120,6 +120,12 @@ object Flagship {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // commit per-batch deltas instead of full snapshots
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      // see Bench.session: block cache sized for the state working set,
+      // larger write buffers, maintenance deferred past bounded runs
+      .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "512")
+      .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "256")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = runStaged(spark, stage(spark, nConvs, nFiles), filesPerTrigger, engine)

@@ -91,6 +91,32 @@ class BlobSpec extends SparkTestBase {
     assert(rt == "2024-03-05 07:08:09")
   }
 
+  test("strftime directive table: reference vectors + supported subset pinned") {
+    // reference methods_test.go:1905,1975 vectors, replayed through the
+    // Column forms
+    val parsed = Seq("2020-Aug-14").toDF("s")
+      .select(Blob.parseTimestampStrptime(col("s"), "%Y-%b-%d").cast("string"))
+      .as[String].head()
+    assert(parsed == "2020-08-14 00:00:00")
+    def fmt(f: String, ts: String = "2020-08-14 11:45:26.371"): String =
+      Seq(java.sql.Timestamp.valueOf(ts)).toDF("ts")
+        .select(Blob.formatTimestampStrftime(col("ts"), f)).as[String].head()
+    assert(fmt("%Y-%b-%d %H:%M:%S") == "2020-Aug-14 11:45:26")
+    // directive classes: day-of-year, weekday/month names, 12h clock,
+    // 2-digit year, day-unpadded, literal %%, fractional seconds
+    assert(fmt("%j") == "227") // 2020-08-14 is day 227 of a leap year
+    assert(fmt("%a %A %b %B") == "Fri Friday Aug August")
+    assert(fmt("%I %p %y %e") == "11 AM 20 14")
+    assert(fmt("100%% %H") == "100% 11")
+    assert(fmt("%H:%M:%S.%f") == "11:45:26.371000")
+    // unsupported directives fail loudly at translation (the documented
+    // subset — not silently misformatted): week-of-year %U/%W, century %C
+    Seq("%U", "%W", "%C").foreach { d =>
+      val e = intercept[IllegalArgumentException](Blob.strftimeToJava(d))
+      assert(e.getMessage.contains("unsupported strftime token"))
+    }
+  }
+
   test("parse_duration_iso8601 handles day/time designators, rejects junk") {
     val got = Seq(("P2DT3H4M", "nope")).toDF("a", "b")
       .select(Blob.parseDurationIso8601(col("a")), Blob.parseDurationIso8601(col("b")))
