@@ -159,18 +159,45 @@ object Bench {
     sFull.stop()
 
     // ---- skew regime: unsalted / salted / tws under hot conversations --
-    val skewRuns: Seq[(String, Flagship.Result)] = if (skipSkew) Seq.empty else {
-      val s = session(8, 16)
-      Flagship.runStaged(s, warmDir, filesPerTrigger = fpt) // warmup
-      val runs = Seq(
-        "fmgws" -> Flagship.runStaged(s, skewDir, fpt, engine = "fmgws"),
-        "fmgws_salted" -> Flagship.runStaged(s, skewDir, fpt, engine = "fmgws", salt = skewSalt),
-        "tws" -> Flagship.runStaged(s, skewDir, fpt, engine = "tws"))
-      runs.foreach { case (n, r) =>
-        System.err.println(f"[bench] skew $n turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs")
+    val (skewRuns, skewTrials): (Seq[(String, Flagship.Result)], Seq[(String, Flagship.Result)]) =
+      if (skipSkew) (Seq.empty, Seq.empty) else {
+      // (name, filesPerTrigger, engine, salt). The fpt=latFpt rows probe
+      // the many-small-batches regime: fmgws re-serializes a hot key's
+      // whole buffered state every micro-batch it's touched in
+      // (O(batches x buffer) write amplification); tws's ListState
+      // appends only the new turns — that's where it pays off.
+      val configs: Seq[(String, Int, String, Int)] = Seq(
+        ("fmgws", fpt, "fmgws", 0),
+        ("fmgws_salted", fpt, "fmgws", skewSalt),
+        ("tws", fpt, "tws", 0),
+        (s"fmgws_fpt$latFpt", latFpt, "fmgws", 0),
+        (s"tws_fpt$latFpt", latFpt, "tws", 0))
+      // One JVM-wide warmup (codegen cache + JIT are global), then
+      // INTERLEAVED trials — trial-outer, config-inner — each in a fresh
+      // session: config-blocked best-of-N still flipped sign run-to-run
+      // because ambient drift over the block's minutes hits later configs
+      // harder (observed as monotonically declining throughput through
+      // the block regardless of config); interleaving samples every
+      // config under every noise window, and the per-run session keeps
+      // one config's state-store residue out of the next measurement.
+      locally { val s = session(8, 16)
+        Flagship.runStaged(s, warmDir, filesPerTrigger = fpt); s.stop() }
+      val all: Seq[(String, Flagship.Result)] = (1 to nTrials).flatMap { t =>
+        configs.map { case (name, f, eng, saltN) =>
+          val s = session(8, 16)
+          val r = Flagship.runStaged(s, skewDir, f, engine = eng, salt = saltN)
+          s.stop()
+          System.err.println(f"[bench] skew $name trial=$t turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs")
+          name -> r
+        }
       }
-      s.stop()
-      runs
+      val runs = configs.map { case (name, _, _, _) =>
+        name -> all.collect { case (`name`, r) => r }.maxBy(_.turnsPerSec)
+      }
+      runs.foreach { case (n, r) =>
+        System.err.println(f"[bench] skew best $n turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs")
+      }
+      (runs, all)
     }
     if (!skipSkew) graft.util.Tmp.delete(skewDir)
 
@@ -178,7 +205,7 @@ object Bench {
     // Data layout and shuffle partitioning IDENTICAL across levels (fixed
     // parts; a real cluster resize changes executors, not partitioning).
     val levels = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    val parts = 2 * levels.max
+    val parts = 2 * levels.maxOption.getOrElse(8)
     def runTrials(cores: Int): Seq[Flagship.Result] = {
       val s = session(cores, parts)
       Flagship.runStaged(s, warmDir, filesPerTrigger = fpt) // warmup
@@ -209,11 +236,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val skewJson =
       if (skewRuns.isEmpty) "null"
-      else skewRuns.map { case (n, r) =>
-        s""""$n":{"turns_per_sec":${f(r.turnsPerSec)},"p99_latency_ms":${r.p99LatencyMs},""" +
-          s""""elapsed_sec":${f(r.elapsedSec)},"max_state_rows":${r.maxStateRows},""" +
-          s""""max_state_bytes":${r.maxStateBytes}}"""
-      }.mkString(s"""{"convs":$skewConvs,"hot":$hotConvs,"hot_mult":$hotMult,"salt":$skewSalt,""", ",", "}")
+      else {
+        val bests = skewRuns.map { case (n, r) =>
+          s""""$n":{"turns_per_sec":${f(r.turnsPerSec)},"p99_latency_ms":${r.p99LatencyMs},""" +
+            s""""elapsed_sec":${f(r.elapsedSec)},"max_state_rows":${r.maxStateRows},""" +
+            s""""max_state_bytes":${r.maxStateBytes}}"""
+        }
+        // every interleaved trial, per config, in run order — the spread
+        // a reported best must be judged against
+        val trials = skewRuns.map { case (n, _) =>
+          s""""$n":${fs(skewTrials.collect { case (`n`, r) => r.turnsPerSec })}"""
+        }.mkString(""""trials_tps":{""", ",", "}")
+        (bests :+ trials)
+          .mkString(s"""{"convs":$skewConvs,"hot":$hotConvs,"hot_mult":$hotMult,"salt":$skewSalt,""", ",", "}")
+      }
     val flagshipTrialsJson = fs(fullTrials.map(_.turnsPerSec))
     val detail =
       s"""{"sf":"$sfDir","cpus":$cpus,"n_convs":$nConvs,"n_files":$nFiles,"fpt":$fpt,""" +

@@ -93,6 +93,15 @@ object Flagship {
     val nPairs = Sink.readCommitted(spark, s"$work/out").count()
     val snaps = metrics.snapshots
     spark.streams.removeListener(metrics)
+    // This run's state-store providers are dead the moment the query
+    // stops (the checkpoint is single-use), but they stay in the
+    // executor-global provider cache holding their native RocksDB block
+    // cache + memtables until the next maintenance tick — which Bench
+    // defers 10 min so it can't fire MID-trial. Left alone, back-to-back
+    // runs accumulate GBs of dead native memory and every later trial
+    // pays kernel reclaim for it (observed as monotonically declining
+    // throughput across a session's trials). Unload explicitly instead.
+    org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
     graft.util.Tmp.delete(work) // checkpoint + sink are ephemeral per run
     Result(nTurns, nPairs, elapsed, nTurns / elapsed, metrics.p99LatencyMs,
       if (snaps.isEmpty) 0 else snaps.map(_.stateRows).max,
