@@ -31,6 +31,8 @@ object GraftExtensions {
       args => SimHash64(args.head)),
     ("graft_cosine", "cosine similarity of two ARRAY<FLOAT> columns",
       args => CosineSim(args(0), args(1))),
+    ("graft_cosine_i8", "cosine similarity of two ARRAY<TINYINT> columns",
+      args => CosineSimI8(args(0), args(1))),
     ("graft_ngram_jaccard", "character n-gram Jaccard of two strings (a, b, n)",
       args => {
         if (args.length != 3 || !args(2).foldable)

@@ -152,6 +152,30 @@ object Native {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** Cosine of two int8 (byte) arrays — the quantized-index probe fold.
+    * Each element is widened byte→double (exact) and accumulated in
+    * element order, so the result is bit-identical to the interpreted
+    * HOF fold (`Similarity.cosine` with its per-element double casts)
+    * and to the DuckDB oracle's ordered list fold over the same ints.
+    */
+  def cosineI8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toDouble
+      val y = b.getByte(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
   /** Random-hyperplane weight table for the LSH bucket hash, precomputed
     * once per (bits, dims, seed) and cached — the per-row work is then a
     * pure fused dot-product pass. Weight derivation is EXACTLY the HOF
@@ -319,5 +343,20 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** graft_cosine_i8(a, b): codegen'd cosine over ARRAY<TINYINT> — the
+  * quantized-index probe scorer (`Similarity.int8Scores`). Int literals
+  * on the query side implicit-cast to byte at resolution.
+  */
+case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Native.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.cosineI8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimI8 =
     copy(left = l, right = r)
 }

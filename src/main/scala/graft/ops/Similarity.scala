@@ -304,11 +304,16 @@ object Similarity {
 
   /** Every quantized-index row with its int8-grid cosine vs the (int8-
     * quantized) probe — the score-producing form of `bruteForceTopKInt8`,
-    * for kth-with-ties oracle cuts.
+    * for kth-with-ties oracle cuts. Scored by the codegen'd byte-array
+    * cosine (graft.functions.CosineSimI8): byte→double widening is exact
+    * and the fold order matches, so it is bit-identical to the
+    * interpreted HOF `cosine` (pinned in SimilaritySpec) and the oracle.
     */
   def int8Scores(quantized: DataFrame, query: Seq[Float]): DataFrame = {
+    graft.functions.GraftExtensions.ensure(quantized.sparkSession)
     val qq = quantizeQueryInt8(query)
-    quantized.withColumn("sim", cosine(col("q"), array(qq.map(lit(_)): _*)))
+    quantized.withColumn("sim", call_function("graft_cosine_i8",
+      col("q"), array(qq.map(v => lit(v.toByte)): _*)))
   }
 
   /** All near-duplicate pairs by embedding cosine ≥ threshold, LSH-bucketed

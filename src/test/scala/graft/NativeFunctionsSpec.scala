@@ -69,6 +69,20 @@ class NativeFunctionsSpec extends SparkTestBase {
     got.foreach { case (native, hof) => assert(native == hof) } // bit equality
   }
 
+  test("graft_cosine_i8 is bit-identical to the HOF fold on byte arrays") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(_ => (
+      Seq.fill(16)((rnd.nextInt(255) - 127).toByte),
+      Seq.fill(16)((rnd.nextInt(255) - 127).toByte)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(expr("graft_cosine_i8(a, b)"),
+      Similarity.cosine(col("a"), col("b"))).as[(Double, Double)].collect()
+    got.foreach { case (native, hof) => assert(native == hof) } // bit equality
+    // zero-vector guard matches the HOF's when(d === 0, 0.0)
+    val z = Seq((Seq.fill(4)(0.toByte), Seq.fill(4)(5.toByte))).toDF("a", "b")
+    assert(z.select(expr("graft_cosine_i8(a, b)")).as[Double].head() == 0.0)
+  }
+
   test("expressions participate in WholeStageCodegen") {
     // a file-backed frame so ConvertToLocalRelation can't pre-evaluate
     val dir = java.nio.file.Files.createTempDirectory("native").toString + "/d"
