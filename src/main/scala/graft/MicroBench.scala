@@ -69,6 +69,16 @@ object MicroBench {
     time("cosine native") {
       vecs.select(sum(expr("graft_cosine(emb, reverse(emb))"))).head().getDouble(0).toLong
     }
+    // the quantized-probe path: int8 vectors, ranked by the byte-array fold
+    val qvecs = Similarity.quantizeInt8(vecs, col("id"), col("emb"))
+      .select(col("id"), col("q")).cache()
+    qvecs.count()
+    time("cosine_i8 HOF") {
+      qvecs.select(sum(Similarity.cosine(col("q"), reverse(col("q"))))).head().getDouble(0).toLong
+    }
+    time("cosine_i8 native") {
+      qvecs.select(sum(expr("graft_cosine_i8(q, reverse(q))"))).head().getDouble(0).toLong
+    }
     spark.stop()
   }
 }
