@@ -21,7 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    BASELINE.md-spirited 2→8 proxy and the bandwidth-unsaturated 1→4
   *    proxy (see BENCH.md §"scaling" for why one box under-reports the
   *    high pair: 4N executors bring 4× memory bandwidth, one socket
-  *    doesn't), efficiency = (tps_hi/tps_lo)/(hi/lo) per pair;
+  *    doesn't), efficiency = (tps_hi/tps_lo)/(hi/lo) per pair, each
+  *    pair's replay input sized to its high level (convsFor) so the
+  *    fixed per-run cost stays under ~10% of the high level's trial;
   *  - the skew regime (north_star: salting for hot conversations):
   *    hotConvs dominated input through unsalted fmgws, salted fmgws, and
   *    the tws ListState engine, three-way.
