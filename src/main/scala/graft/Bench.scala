@@ -152,9 +152,6 @@ object Bench {
     val sGen = session(cpus)
     val warmDir = Flagship.stage(sGen, 2000L, nFiles = fpt)
     val inDir = Flagship.stage(sGen, nConvs, nFiles = nFiles)
-    val scaleDirs: Map[Long, String] = pairs.map(p => convsFor(p._2)).distinct
-      .map { c => c -> (if (c == nConvs) inDir else Flagship.stage(sGen, c, nFiles = nFiles)) }
-      .toMap
     val skewDir = if (skipSkew) "" else
       Flagship.stage(sGen, skewConvs, nFiles = nFiles, hotConvs = hotConvs, hotMult = hotMult)
     sGen.stop()
@@ -220,6 +217,20 @@ object Bench {
     // ---- scaling: per-pair staged input, both levels of each pair ------
     // Data layout and shuffle partitioning IDENTICAL across levels (fixed
     // parts; a real cluster resize changes executors, not partitioning).
+    // The extra (2x) scaling inputs are staged HERE, not up-front with
+    // the others: GBs of additional tmpfs residency during the flagship
+    // and skew stages would be exactly the ambient-memory-pressure
+    // effect the provider-unload fix exists to eliminate.
+    val scaleDirs: Map[Long, String] = {
+      val extra = pairs.map(p => convsFor(p._2)).distinct.filter(_ != nConvs)
+      val m: Map[Long, String] = if (extra.isEmpty) Map.empty else {
+        val s = session(cpus)
+        val staged = extra.map(c => c -> Flagship.stage(s, c, nFiles = nFiles)).toMap
+        s.stop()
+        staged
+      }
+      m + (nConvs -> inDir)
+    }
     val levels = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     val parts = 2 * levels.maxOption.getOrElse(8)
     def runTrials(cores: Int, dir: String, convs: Long): Seq[Flagship.Result] = {

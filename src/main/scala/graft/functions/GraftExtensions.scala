@@ -32,7 +32,14 @@ object GraftExtensions {
     ("graft_cosine", "cosine similarity of two ARRAY<FLOAT> columns",
       args => CosineSim(args(0), args(1))),
     ("graft_cosine_i8", "cosine similarity of two ARRAY<TINYINT> columns",
-      args => CosineSimI8(args(0), args(1))),
+      args => {
+        if (args.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              "graft_cosine_i8 expects exactly (a: ARRAY<TINYINT>, b: ARRAY<TINYINT>)"))
+        CosineSimI8(args(0), args(1))
+      }),
     ("graft_ngram_jaccard", "character n-gram Jaccard of two strings (a, b, n)",
       args => {
         if (args.length != 3 || !args(2).foldable)

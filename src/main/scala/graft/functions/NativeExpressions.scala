@@ -347,8 +347,15 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 /** graft_cosine_i8(a, b): codegen'd cosine over ARRAY<TINYINT> — the
-  * quantized-index probe scorer (`Similarity.int8Scores`). Int literals
-  * on the query side implicit-cast to byte at resolution.
+  * quantized-index probe scorer (`Similarity.int8Scores`). Callers must
+  * pass byte arrays on both sides (int8Scores quantizes the query
+  * driver-side and builds byte literals); there is no implicit
+  * int→byte narrowing under ANSI type coercion. Bit-identity with the
+  * HOF fold is pinned for the quantized-index contract: equal-length,
+  * null-free arrays (on length mismatch the native fold truncates to
+  * the shorter array where the HOF zip_with returns NULL — same
+  * pre-existing divergence as CosineSim, never reachable from
+  * quantizeInt8 output).
   */
 case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = DoubleType
