@@ -115,7 +115,7 @@ object Flagship {
     val nFiles = if (args.length > 3) args(3).toInt else 16
     val parts = if (args.length > 4) args(4) else cores
     val engine = if (args.length > 5) args(5) else "fmgws"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-flagship")
       .config("spark.sql.shuffle.partitions", parts)
@@ -135,7 +135,12 @@ object Flagship {
       .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "256")
       .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
-      .getOrCreate()
+    // ad-hoc experiment overrides: "k=v;k=v" applied last (same hook as
+    // Bench.session — e.g. resize the block cache for sustained runs
+    // whose state working set outgrows the 512 MB default)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = runStaged(spark, stage(spark, nConvs, nFiles), filesPerTrigger, engine)
     println(f"""{"turns":${r.turns},"pairs":${r.pairs},"elapsed_sec":${r.elapsedSec}%.2f,""" +
