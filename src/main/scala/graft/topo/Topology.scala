@@ -47,6 +47,32 @@ object Topology {
   def fromParquetStream(path: String, schemaDdl: String): Topology =
     Topology(_.readStream.schema(schemaDdl).parquet(path))
 
+  /** file input with the csv codec (reference: internal/impl/io/input_file.go
+    * + internal/codec/reader.go `csv`): schema-applied CSV scan, batch and
+    * streaming forms. gzip-family compression is transparent (Hadoop
+    * decompresses by file extension in both forms), which covers the
+    * reference's `gzip` → `csv` codec chain for file sources.
+    */
+  def fromCsv(path: String, schemaDdl: String, header: Boolean = true): Topology =
+    Topology(_.read.schema(schemaDdl).option("header", header.toString).csv(path))
+
+  def fromCsvStream(path: String, schemaDdl: String, header: Boolean = true): Topology =
+    Topology(_.readStream.schema(schemaDdl).option("header", header.toString).csv(path))
+
+  /** file input with the lines codec (reference codec `lines`): one row per
+    * line in `content`, with the originating file attached as `path` — the
+    * reference's `path` metadata field (internal/impl/io/input_file.go:150).
+    */
+  def fromLines(path: String): Topology =
+    Topology(s => s.read.text(path)
+      .select(org.apache.spark.sql.functions.col("value").as("content"),
+        org.apache.spark.sql.functions.input_file_name().as("path")))
+
+  def fromLinesStream(path: String): Topology =
+    Topology(s => s.readStream.text(path)
+      .select(org.apache.spark.sql.functions.col("value").as("content"),
+        org.apache.spark.sql.functions.input_file_name().as("path")))
+
   /** generate input (internal/impl/pure/input_generate.go): rate-limited
     * synthetic stream; `rowsPerSecond` maps the reference's `interval`.
     */

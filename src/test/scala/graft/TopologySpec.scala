@@ -66,6 +66,49 @@ class TopologySpec extends SparkTestBase {
       .select("v").as[Int].collect().sorted.toSeq == Seq(10, 20, 30, 40, 50, 60))
   }
 
+  test("csv file source reads batch and streaming, gzip transparently (codec chain)") {
+    val work = Files.createTempDirectory("csvsrc").toString
+    val in = s"$work/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    // one plain csv + one gzipped csv in the same directory — the
+    // reference's file input with `gzip`/`csv` codecs reads both
+    Files.write(java.nio.file.Paths.get(s"$in/a.csv"),
+      "id,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+    locally {
+      val gz = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$in/b.csv.gz"))
+      gz.write("id,name\n3,gamma\n".getBytes("UTF-8")); gz.close()
+    }
+    val schema = "id INT, name STRING"
+    val batch = Topology.fromCsv(in, schema).build(spark)
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(batch.toSeq == Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
+    // same directory through the streaming form + exactly-once sink
+    val q = Topology.fromCsvStream(in, schema)
+      .proc(_.filter(col("id") > 1))
+      .run(spark, s"$work/out", s"$work/ck")
+    q.awaitTermination()
+    assert(Sink.readCommitted(spark, s"$work/out")
+      .select("id").as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("lines file source: one row per line with the reference's path metadata") {
+    val work = Files.createTempDirectory("linesrc").toString
+    val in = s"$work/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    Files.write(java.nio.file.Paths.get(s"$in/log1.txt"),
+      "first line\nsecond line\n".getBytes("UTF-8"))
+    val rows = Topology.fromLines(in).build(spark)
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("first line", "second line"))
+    assert(rows.forall(_._2.endsWith("log1.txt")))
+    val q = Topology.fromLinesStream(in)
+      .proc(_.filter(col("content").startsWith("second")))
+      .run(spark, s"$work/out", s"$work/ck")
+    q.awaitTermination()
+    val streamed = Sink.readCommitted(spark, s"$work/out")
+      .select("content").as[String].collect()
+    assert(streamed.toSeq == Seq("second line"))
+  }
+
   test("multimodal decode round-trips the stub metadata; malformed rows drop") {
     val docs = spark.range(10).toDF("doc_id")
     val media = Multimodal.withMedia(docs)
