@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Errors, Subprocess}
-import graft.sources.Tables
+import graft.ops.{Errors, Subprocess, Transforms}
+import graft.sources.{Http, Tables}
 
 /** Oracle-checked queries for the integration processor family
   * (SURVEY.md §2.4 `subprocess`): operators that bridge to the world
@@ -21,11 +21,62 @@ object IntegrationQueries {
       Subprocess.pipe(df, Seq("awk", "-W", "interactive", "{ print toupper($0); fflush(); }"))
         .select(col("conv_id"), col("turn_idx"), col("text").as("text_up"),
           col(Errors.ErrCol).as("err"))
+    }),
+
+    // http processor (internal/old/processor/http.go:103-113): per-row
+    // enrichment request against a service (here the JVM-lifetime uppercase
+    // echo); the 2xx body replaces the document. One client per partition —
+    // the reference's `parallel` mode is partition parallelism.
+    "q_http_enrich" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      Http.enrich(docs, Http.echoUpperUrl)
+        .select(col("doc_id"), col("text").as("text_up"),
+          col(Errors.ErrCol).as("err"))
+    }),
+
+    // count(name) monotonic counter (bloblang functions.go:233) over the
+    // explicit total order (ts, conv_id, turn_idx) — the distributed
+    // ordinal via range partition + zipWithIndex, no single-task window.
+    "q_count" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      Transforms.counter(df, Seq(col("ts"), col("conv_id"), col("turn_idx")), "msg_count")
+        .select(col("conv_id"), col("turn_idx"), col("msg_count"))
+    }),
+
+    // msgpack methods (internal/impl/msgpack/bloblang.go): format → parse
+    // round-trip preserves the document, and the packed length follows the
+    // msgpack.org spec arithmetic exactly (fixmap + fixstr + compact int),
+    // which DuckDB recomputes per row.
+    "q_msgpack" -> ((s, dir) => {
+      import graft.blob.MsgPack
+      val df = Tables.transcripts(s, dir).withColumn("doc",
+        to_json(struct(col("conv_id"), col("turn_idx"), col("role"))))
+      val rt = MsgPack.parseMsgpack(MsgPack.formatMsgpack(col("doc")))
+      df.select(col("conv_id"), col("turn_idx"),
+        get_json_object(rt, "$.role").as("rt_role"),
+        get_json_object(rt, "$.turn_idx").cast("int").as("rt_idx"),
+        length(MsgPack.formatMsgpack(col("doc"))).as("packed_len"))
     }))
 
   val oracles: Map[String, String] = Map(
     "q_subprocess" -> (T +
       """SELECT conv_id, turn_idx, upper(text) AS text_up,
         |  CAST(NULL AS VARCHAR) AS err
+        |FROM transcripts""".stripMargin),
+    "q_http_enrich" ->
+      """SELECT doc_id, upper(text) AS text_up, CAST(NULL AS VARCHAR) AS err
+        |FROM documents""".stripMargin,
+    "q_count" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  row_number() OVER (ORDER BY ts, conv_id, turn_idx) AS msg_count
+        |FROM transcripts""".stripMargin),
+    // packed_len: 1 (fixmap:3) + 8 ('conv_id' fixstr key) + 1+len(conv_id)
+    // + 9 ('turn_idx' key) + compact-int(turn_idx) + 5 ('role' key)
+    // + 1+len(role)
+    "q_msgpack" -> (T +
+      """SELECT conv_id, turn_idx, role AS rt_role, turn_idx AS rt_idx,
+        |  CAST(25 + length(conv_id) + length(role) +
+        |    (CASE WHEN turn_idx < 128 THEN 1
+        |          WHEN turn_idx < 256 THEN 2 ELSE 3 END) AS INT) AS packed_len
         |FROM transcripts""".stripMargin))
 }
