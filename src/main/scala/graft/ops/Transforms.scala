@@ -146,4 +146,31 @@ object Transforms {
     }
     tiers.result()
   }
+
+  /** count(name) monotonic counter (bloblang functions.go:233): a counter
+    * starting at 1 that increments once per message. The reference's
+    * counter numbers messages in arrival order of one process; a
+    * distributed engine has no arrival order, so the caller names the
+    * total order explicitly (`orderCols` must be a unique key) and the
+    * counter is that order's 1-based ordinal.
+    *
+    * Scale shape: range-repartition on the key, sort within partitions,
+    * then `zipWithIndex` (a count-per-partition job + an offset map) — the
+    * global ordinal WITHOUT a single-partition window (`row_number()` over
+    * an unpartitioned window funnels 100 TB through one task; this is the
+    * distributed equivalent). Costs one extra count job and drops out of
+    * whole-stage codegen for the stamping map — use only when a global
+    * ordinal is genuinely required, which is why the reference marks the
+    * function "shared state, avoid where possible" too (SURVEY §2.6).
+    */
+  def counter(df: DataFrame, orderCols: Seq[Column], out: String = "count"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(stamped, schema)
+  }
 }
