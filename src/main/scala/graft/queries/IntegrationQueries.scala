@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Errors, Subprocess, Transforms}
+import graft.ops.{Awk, Errors, Subprocess, Transforms}
 import graft.sources.{Http, Tables}
 
 /** Oracle-checked queries for the integration processor family
@@ -56,6 +56,20 @@ object IntegrationQueries {
         get_json_object(rt, "$.role").as("rt_role"),
         get_json_object(rt, "$.turn_idx").cast("int").as("rt_idx"),
         length(MsgPack.formatMsgpack(col("doc"))).as("packed_len"))
+    }),
+
+    // awk processor, json codec (internal/old/processor/awk.go:792-801):
+    // the document flattens into AWK variables; the program's stdout
+    // replaces it. One interpreter per message by construction — bounded
+    // here to the 500-row documents table (the subprocess processor is
+    // the long-lived streaming shape).
+    "q_awk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("text", to_json(struct(col("doc_id"),
+          col("lang"), length(col("text")).as("nchars"))))
+      Awk.proc(docs, """{ print lang "#" doc_id ": " nchars " chars" }""", "json")
+        .select(col("doc_id"), col("text").as("awk_out"),
+          col(Errors.ErrCol).as("err"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -78,5 +92,11 @@ object IntegrationQueries {
         |  CAST(25 + length(conv_id) + length(role) +
         |    (CASE WHEN turn_idx < 128 THEN 1
         |          WHEN turn_idx < 256 THEN 2 ELSE 3 END) AS INT) AS packed_len
-        |FROM transcripts""".stripMargin))
+        |FROM transcripts""".stripMargin),
+    "q_awk" ->
+      """SELECT doc_id,
+        |  lang || '#' || CAST(doc_id AS VARCHAR) || ': ' ||
+        |    CAST(length(text) AS VARCHAR) || ' chars' AS awk_out,
+        |  CAST(NULL AS VARCHAR) AS err
+        |FROM documents""".stripMargin)
 }
