@@ -25,7 +25,11 @@ object Verify {
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // repartition(1), NOT coalesce(1): coalesce collapses the whole
+          // post-shuffle stage into one task, serializing per-row-I/O
+          // operators (http enrich, awk) that rely on partition
+          // parallelism; the shuffle boundary keeps them at node width.
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
         } catch { case e: Throwable =>

@@ -26,9 +26,12 @@ object IntegrationQueries {
     // http processor (internal/old/processor/http.go:103-113): per-row
     // enrichment request against a service (here the JVM-lifetime uppercase
     // echo); the 2xx body replaces the document. One client per partition —
-    // the reference's `parallel` mode is partition parallelism.
+    // the reference's `parallel` mode is partition parallelism, so the
+    // single-file scan is repartitioned to node width first (sequential
+    // loopback requests pay ~45 ms each to delayed-ACK; width-32 hides it).
     "q_http_enrich" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
       Http.enrich(docs, Http.echoUpperUrl)
         .select(col("doc_id"), col("text").as("text_up"),
           col(Errors.ErrCol).as("err"))
@@ -60,11 +63,12 @@ object IntegrationQueries {
 
     // awk processor, json codec (internal/old/processor/awk.go:792-801):
     // the document flattens into AWK variables; the program's stdout
-    // replaces it. One interpreter per message by construction — bounded
-    // here to the 500-row documents table (the subprocess processor is
-    // the long-lived streaming shape).
+    // replaces it. One interpreter per message by construction — fork cost
+    // is spread across node width by repartitioning the single-file scan
+    // (the subprocess processor is the long-lived streaming shape).
     "q_awk" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("text", to_json(struct(col("doc_id"),
           col("lang"), length(col("text")).as("nchars"))))
       Awk.proc(docs, """{ print lang "#" doc_id ": " nchars " chars" }""", "json")

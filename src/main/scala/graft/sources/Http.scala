@@ -41,6 +41,11 @@ import org.apache.spark.sql.functions._
   */
 object Http {
 
+  // TCP_NODELAY on every accepted socket: without it each loopback
+  // request/response pair stalls ~40 ms in the Nagle/delayed-ACK
+  // interaction, which dominates per-row enrichment latency.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   // ---------------------------------------------------------------- server
 
   /** HttpServer.start() spawns a NON-daemon dispatcher thread; a
