@@ -79,7 +79,7 @@ object Proto {
 
   /** Parse a set of .proto sources (the reference walks import_paths; the
     * caller hands us every file's text — imports between them resolve by
-    * type name against the merged set). `google/protobuf/*.proto` imports
+    * type name against the merged set). Well-known `google.protobuf` imports
     * are satisfied by built-in descriptors for Timestamp/Duration/Any.
     */
   def compile(sources: Seq[String]): FileSet = {
@@ -313,7 +313,10 @@ object Proto {
         val v = if (n.isNumber) n.asInt()
           else ed.byName.getOrElse(n.asText(), err(s"unknown value \"${n.asText()}\" for enum $fq"))
         writeVarint(v.toLong, out)
-      case TFixed64 | TSFixed64 => writeLE(jLong(n, f), 8, out)
+      case TFixed64 =>
+        val v = if (n.isTextual) java.lang.Long.parseUnsignedLong(n.asText()) else n.asLong()
+        writeLE(v, 8, out)
+      case TSFixed64 => writeLE(jLong(n, f), 8, out)
       case TFixed32 | TSFixed32 => writeLE(jLong(n, f) & 0xffffffffL, 4, out)
       case TDouble =>
         if (!n.isNumber && !n.isTextual) err(s"bad input: expecting number ; instead got ${summ(n)}")
@@ -332,13 +335,15 @@ object Proto {
         writeVarint(inner.length.toLong, out); out.write(inner, 0, inner.length)
     }
 
-  private def isDefault(f: Field, n: JsonNode): Boolean = f.tpe match {
+  private def isDefault(fs: FileSet, f: Field, n: JsonNode): Boolean = f.tpe match {
     case _ if n == null || n.isNull => true
     case TString => n.isTextual && n.asText().isEmpty
     case TBytes => n.isTextual && n.asText().isEmpty
     case TBool => n.isBoolean && !n.asBoolean()
     case TMessage(_) => false
-    case TEnum(fq) => (n.isNumber && n.asInt() == 0) || (n.isTextual && false)
+    case TEnum(fq) =>
+      (n.isNumber && n.asInt() == 0) ||
+        (n.isTextual && fs.enums.get(fq).flatMap(_.byNum.get(0)).contains(n.asText()))
     case _ => n.isNumber && n.asDouble() == 0.0
   }
 
@@ -346,7 +351,6 @@ object Proto {
   def encodeMessage(fs: FileSet, fq: String, node: JsonNode): Array[Byte] = {
     val md = fs.message(fq)
     val out = new ByteArrayOutputStream()
-    if (!node.isObject) err(s"bad input: expecting object ; instead got ${summ(node)}")
 
     // google.protobuf.Timestamp: JSON is an RFC 3339 string
     if (fq == "google.protobuf.Timestamp" && node.isTextual) {
@@ -369,6 +373,7 @@ object Proto {
       return out.toByteArray
     }
 
+    if (!node.isObject) err(s"bad input: expecting object ; instead got ${summ(node)}")
     // reject unknown fields first (the reference's jsonpb contract)
     val it = node.fieldNames()
     while (it.hasNext) {
@@ -413,7 +418,7 @@ object Proto {
               writeVarint(b.length.toLong, out); out.write(b, 0, b.length)
             }
           }
-        } else if (!isDefault(f, n)) {
+        } else if (!isDefault(fs, f, n)) {
           writeTag(f.num, wtype(f.tpe), out)
           encodeScalar(fs, f, n, out)
         }
@@ -466,10 +471,8 @@ object Proto {
       case TFloat => fac.numberNode(java.lang.Float.intBitsToFloat(r.le(4).toInt).toDouble)
       case TString => fac.textNode(new String(r.bytes(r.varint().toInt), UTF_8))
       case TBytes => fac.textNode(java.util.Base64.getEncoder.encodeToString(r.bytes(r.varint().toInt)))
-      case TMessage(fq) =>
-        val len = r.varint().toInt
-        val sub = new WireReader(null, 0, 0) // placeholder, replaced below
-        throw new IllegalStateException("messages handled in decodeMessage")
+      case TMessage(_) =>
+        throw new IllegalStateException("messages handled in decodeRange")
     }
 
   /** Wire bytes → canonical-JSON node for message `fq`. Unknown field

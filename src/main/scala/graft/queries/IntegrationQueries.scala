@@ -61,6 +61,33 @@ object IntegrationQueries {
         length(MsgPack.formatMsgpack(col("doc"))).as("packed_len"))
     }),
 
+    // protobuf processor (internal/old/processor/protobuf.go): from_json →
+    // to_json round-trip through the hand-written wire codec, plus the wire
+    // length — which DuckDB recomputes from the encoding spec's arithmetic
+    // (tag byte + length byte + payload per string field; varint width for
+    // the int32; proto3 omits zero values, so turn_idx=0 rows drop the
+    // field on the wire AND in the canonical JSON).
+    "q_protobuf" -> ((s, dir) => {
+      import graft.blob.Proto
+      val fs = Proto.compile(Seq(
+        """syntax = "proto3";
+          |package graft;
+          |message Turn {
+          |  string conv_id = 1;
+          |  int32 turn_idx = 2;
+          |  string role = 3;
+          |}""".stripMargin))
+      val from = Proto.fromJson(fs, "graft.Turn")
+      val to = Proto.toJson(fs, "graft.Turn")
+      val df = Tables.transcripts(s, dir).withColumn("doc",
+        to_json(struct(col("conv_id"), col("turn_idx"), col("role"))))
+      val wire = from(col("doc"))
+      df.select(col("conv_id"), col("turn_idx"),
+        get_json_object(to(wire), "$.role").as("rt_role"),
+        get_json_object(to(wire), "$.turnIdx").cast("int").as("rt_idx"),
+        length(wire).as("wire_len"))
+    }),
+
     // awk processor, json codec (internal/old/processor/awk.go:792-801):
     // the document flattens into AWK variables; the program's stdout
     // replaces it. One interpreter per message by construction — fork cost
@@ -96,6 +123,15 @@ object IntegrationQueries {
         |  CAST(25 + length(conv_id) + length(role) +
         |    (CASE WHEN turn_idx < 128 THEN 1
         |          WHEN turn_idx < 256 THEN 2 ELSE 3 END) AS INT) AS packed_len
+        |FROM transcripts""".stripMargin),
+    // wire_len: conv_id (tag 1 + len 1 + bytes) + role (tag 1 + len 1 +
+    // bytes) + turn_idx (0 if default, else tag 1 + varint 1-2)
+    "q_protobuf" -> (T +
+      """SELECT conv_id, turn_idx, role AS rt_role,
+        |  CASE WHEN turn_idx = 0 THEN NULL ELSE turn_idx END AS rt_idx,
+        |  CAST(4 + length(conv_id) + length(role) +
+        |    CASE WHEN turn_idx = 0 THEN 0
+        |         WHEN turn_idx < 128 THEN 2 ELSE 3 END AS INT) AS wire_len
         |FROM transcripts""".stripMargin),
     "q_awk" ->
       """SELECT doc_id,
