@@ -364,6 +364,63 @@ object Blob {
     }
     c => f(c)
   }
+  /** encode("z85")/decode("z85") (methods_strings.go:154,235) — ZeroMQ
+    * Z85 (spec rfc.zeromq.org/spec/32): strictly 4-byte-aligned binary to
+    * 5-char groups over the Z85 alphabet; misaligned input errors, like
+    * the reference's go-zeromq/zmq4 codec. // UDF
+    */
+  private val z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+  val encodeZ85: Column => Column = {
+    val alpha = z85Alphabet
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else if (b.length % 4 != 0)
+        throw new IllegalArgumentException("z85 requires input length to be a multiple of 4")
+      else {
+        val out = new StringBuilder(b.length / 4 * 5)
+        var i = 0
+        while (i < b.length) {
+          var v = 0L
+          (0 until 4).foreach(j => v = (v << 8) | (b(i + j) & 0xffL))
+          val cs = new Array[Char](5)
+          var x = v
+          (4 to 0 by -1).foreach { j => cs(j) = alpha((x % 85).toInt); x /= 85 }
+          out ++= new String(cs)
+          i += 4
+        }
+        out.result()
+      }
+    }
+    c => f(c.cast("binary"))
+  }
+  val decodeZ85: Column => Column = {
+    val alpha = z85Alphabet
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else if (s.length % 5 != 0)
+        throw new IllegalArgumentException("z85 requires input length to be a multiple of 5")
+      else {
+        val idx = new Array[Int](128); java.util.Arrays.fill(idx, -1)
+        alpha.zipWithIndex.foreach { case (ch, i) => idx(ch.toInt) = i }
+        val bytes = new java.io.ByteArrayOutputStream(s.length / 5 * 4)
+        var i = 0
+        while (i < s.length) {
+          var v = 0L
+          (0 until 5).foreach { j =>
+            val d = idx(s.charAt(i + j).toInt)
+            if (d < 0) throw new IllegalArgumentException(
+              s"invalid z85 character '${s.charAt(i + j)}'")
+            v = v * 85 + d
+          }
+          (3 to 0 by -1).foreach(j => bytes.write(((v >> (8 * j)) & 0xff).toInt))
+          i += 5
+        }
+        bytes.toByteArray
+      }
+    }
+    c => f(c)
+  }
   def replaceAll(c: Column, from: String, to: String): Column =
     replace(c, lit(from), lit(to))
   def replaceAllMany(c: Column, pairs: Seq[(String, String)]): Column =

@@ -145,6 +145,21 @@ class BlobSpec extends SparkTestBase {
     assert(rt == "partial len 7")
   }
 
+  test("z85 known vector (methods_test.go 'check z85 encode/decode') and alignment errors") {
+    val enc = Seq("hello world!").toDF("t")
+      .select(Blob.encodeZ85(col("t"))).as[String].head()
+    assert(enc == "xK#0@zY<mxA+]nf")
+    val dec = Seq("xK#0@zY<mxA+]nf").toDF("t")
+      .select(Blob.decodeZ85(col("t")).cast("string")).as[String].head()
+    assert(dec == "hello world!")
+    // misaligned input errors (the reference's codec contract)
+    val e = intercept[Exception] {
+      Seq("hello world").toDF("t").select(Blob.encodeZ85(col("t"))).as[String].head()
+    }
+    assert(e.getMessage.contains("multiple of 4") ||
+      Option(e.getCause).exists(_.getMessage.contains("multiple of 4")))
+  }
+
   test("collapse flattens nested JSON to dot paths with array indexes") {
     val got = Seq("""{"a":{"b":1},"c":[2,"x"]}""").toDF("j")
       .select(Blob.collapse(col("j"))).as[Map[String, String]].head()
