@@ -61,6 +61,26 @@ object IntegrationQueries {
         length(MsgPack.formatMsgpack(col("doc"))).as("packed_len"))
     }),
 
+    // sql_insert output → partitioned sql_select input round-trip through
+    // embedded Derby (internal/impl/sql/): every transcript turn lands in
+    // the database via per-partition batched inserts and comes back via 8
+    // disjoint range predicates on turn_idx — the parallel-scan shape a
+    // real warehouse connector uses at scale. The oracle is the identity
+    // projection over the parquet source.
+    "q_sql_roundtrip" -> ((s, dir) => {
+      import graft.sources.Sql
+      val dsn = "jdbc:derby:memory:graftq" +
+        java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+      val t = Tables.transcripts(s, dir).select(
+        col("conv_id"), col("turn_idx"), col("role"),
+        length(col("text")).as("n_chars"))
+      Sql.createAndInsert(t, dsn, "turns", "conv_id VARCHAR(64), role VARCHAR(16)")
+      // bounds need not cover the data — Spark's edge strides catch rows
+      // outside [lower, upper)
+      Sql.selectPartitioned(s, dsn, "turns",
+        Seq("conv_id", "turn_idx", "role", "n_chars"), "turn_idx", 0, 512, 8)
+    }),
+
     // protobuf processor (internal/old/processor/protobuf.go): from_json →
     // to_json round-trip through the hand-written wire codec, plus the wire
     // length — which DuckDB recomputes from the encoding spec's arithmetic
@@ -123,6 +143,9 @@ object IntegrationQueries {
         |  CAST(25 + length(conv_id) + length(role) +
         |    (CASE WHEN turn_idx < 128 THEN 1
         |          WHEN turn_idx < 256 THEN 2 ELSE 3 END) AS INT) AS packed_len
+        |FROM transcripts""".stripMargin),
+    "q_sql_roundtrip" -> (T +
+      """SELECT conv_id, turn_idx, role, length(text) AS n_chars
         |FROM transcripts""".stripMargin),
     // wire_len: conv_id (tag 1 + len 1 + bytes) + role (tag 1 + len 1 +
     // bytes) + turn_idx (0 if default, else tag 1 + varint 1-2)
