@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** `dynamic` input / output (SURVEY.md §2.2/§2.3; reference:
+  * internal/impl/net/input_dynamic.go + input_dynamic_fan_in.go,
+  * output_dynamic.go + output_dynamic_fan_out.go): a fan-in whose member
+  * inputs — and a fan-out whose member outputs — are added and removed BY
+  * NAME at runtime, without restarting the pipeline, with onAdd/onRemove
+  * lifecycle hooks. The reference exposes the registry over REST
+  * (`/inputs/{id}`); here it's the API surface itself — transport is an
+  * operational concern (the http_server source shows the pattern).
+  *
+  * Spark mapping — a running Structured Streaming query cannot splice a
+  * new source into its plan, so:
+  *  - dynamic INPUT: each named input is its own tiny staging query (or a
+  *    one-shot batch write) that lands rows into a shared spool directory,
+  *    partitioned `input=<name>/`; the downstream pipeline is ONE file
+  *    stream over the spool that never restarts. Adding an input starts
+  *    its stager; removing stops it. The spool is the same durable WAL
+  *    shape the socket/http_server sources use — multi-executor readable,
+  *    replayable, and the `input` column carries provenance.
+  *  - dynamic OUTPUT: a foreachBatch fan-out that snapshots the registry
+  *    at each micro-batch commit and writes the batch to every member
+  *    through the idempotent sink (each member keeps exactly-once on its
+  *    own lineage). Membership changes apply from the next batch on —
+  *    the same commit-boundary semantics as the reference's fan-out,
+  *    which completes in-flight messages before dropping an output.
+  */
+object Dynamic {
+
+  // ----------------------------------------------------------- dynamic input
+
+  final class FanIn(spark: SparkSession, val spoolDir: String,
+      onAdd: String => Unit = _ => (), onRemove: String => Unit = _ => ()) {
+    Files.createDirectories(Paths.get(spoolDir))
+    private val stagers = new ConcurrentHashMap[String, Option[StreamingQuery]]()
+
+    /** The one downstream stream: every current and future member's rows,
+      * with the member name as the `input` column.
+      */
+    def stream(textCol: String = "content"): DataFrame =
+      spark.readStream.text(spoolDir + "/input=*")
+        .select(col("value").as(textCol),
+          regexp_extract(input_file_name(), "input=([^/]+)/", 1).as("input"))
+
+    def batch(textCol: String = "content"): DataFrame =
+      spark.read.text(spoolDir + "/input=*")
+        .select(col("value").as(textCol),
+          regexp_extract(input_file_name(), "input=([^/]+)/", 1).as("input"))
+
+    /** Add (or replace, reference semantics: upsert) a named input. A
+      * streaming frame runs a continuous stager; a batch frame stages
+      * once. `df` must have a single string column.
+      */
+    def add(name: String, df: DataFrame): Unit = {
+      remove(name) // upsert: the reference stops an existing input first
+      val dir = s"$spoolDir/input=$name"
+      Files.createDirectories(Paths.get(dir))
+      val q =
+        if (df.isStreaming)
+          Some(df.writeStream
+            .format("text")
+            .option("path", dir)
+            .option("checkpointLocation", s"$spoolDir/.ckpt-$name-${UUID.randomUUID()}")
+            .trigger(Trigger.ProcessingTime(0))
+            .start())
+        else {
+          // one-shot: stage atomically so the consumer never sees partials
+          val rows = df.collectToLines()
+          val tmp = Paths.get(dir, s".tmp-${UUID.randomUUID()}")
+          Files.write(tmp, rows.mkString("\n").getBytes(UTF_8))
+          Files.move(tmp, Paths.get(dir, s"part-${UUID.randomUUID()}.txt"),
+            StandardCopyOption.ATOMIC_MOVE)
+          None
+        }
+      stagers.put(name, q)
+      onAdd(name)
+    }
+
+    /** Stop and deregister a named input (files already staged remain —
+      * the reference also completes in-flight messages on removal).
+      */
+    def remove(name: String): Unit = {
+      val q = stagers.remove(name)
+      if (q != null) {
+        q.foreach(_.stop())
+        onRemove(name)
+      }
+    }
+
+    def inputs: Seq[String] = stagers.keys.asScala.toSeq.sorted
+
+    def close(): Unit = inputs.foreach(remove)
+
+    private implicit class Collector(df: DataFrame) {
+      def collectToLines(): Seq[String] = {
+        require(df.schema.fields.length == 1, "dynamic input frames carry one string column")
+        df.collect().map(r => String.valueOf(r.get(0))).toSeq
+      }
+    }
+  }
+
+  // ---------------------------------------------------------- dynamic output
+
+  final class FanOut(onAdd: String => Unit = _ => (), onRemove: String => Unit = _ => ()) {
+    private val outputs = new ConcurrentHashMap[String, String]()
+
+    def add(name: String, dir: String): Unit = {
+      outputs.put(name, dir)
+      onAdd(name)
+    }
+
+    def remove(name: String): Unit =
+      if (outputs.remove(name) != null) onRemove(name)
+
+    def names: Seq[String] = outputs.keys.asScala.toSeq.sorted
+
+    /** foreachBatch sink: the registry snapshot at commit time gets the
+      * batch, each member through the idempotent commit protocol (so a
+      * replayed batch stays exactly-once per member).
+      */
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val snapshot = outputs.asScala.toMap
+      if (snapshot.nonEmpty) {
+        val materialized = batch.persist()
+        try snapshot.values.foreach { dir =>
+          Sink.writeBatchIdempotent(dir)(materialized, batchId)
+        } finally materialized.unpersist()
+      }
+    }
+  }
+}
