@@ -67,4 +67,45 @@ object Metrics {
     spark.streams.addListener(m)
     m
   }
+
+  // ------------------------------------------------- per-partition metrics
+
+  /** One task execution of one stage = one partition of one (micro-)batch.
+    * rows/sec per partition is the north_star's per-partition exposure;
+    * skew shows up as one partition's `rows` dwarfing its siblings.
+    */
+  final case class PartitionMetric(stage: String, stageId: Int,
+      partitionId: Int, rows: Long, nanos: Long) {
+    def rowsPerSec: Double = if (nanos == 0) 0.0 else rows * 1e9 / nanos
+  }
+
+  type PartitionAcc =
+    org.apache.spark.util.CollectionAccumulator[PartitionMetric]
+
+  def partitionAccumulator(spark: SparkSession, name: String): PartitionAcc = {
+    val acc = new org.apache.spark.util.CollectionAccumulator[PartitionMetric]
+    spark.sparkContext.register(acc, name)
+    acc
+  }
+
+  /** Tap a frame with per-partition row/time counters for `stage`. The
+    * counter registers a task-completion listener, so partial drains and
+    * failures still record; pass-through is a narrow map (no shuffle, no
+    * barrier), so the tap composes anywhere in a batch or streaming plan.
+    */
+  def tap(df: org.apache.spark.sql.DataFrame, stage: String,
+      acc: PartitionAcc): org.apache.spark.sql.DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions { it =>
+      val ctx = org.apache.spark.TaskContext.get()
+      val t0 = System.nanoTime()
+      var n = 0L
+      if (ctx != null)
+        ctx.addTaskCompletionListener[Unit] { _ =>
+          acc.add(PartitionMetric(stage, ctx.stageId(), ctx.partitionId(), n,
+            System.nanoTime() - t0))
+        }
+      it.map { r => n += 1; r }
+    }(enc)
+  }
 }
