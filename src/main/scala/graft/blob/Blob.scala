@@ -394,15 +394,18 @@ object Blob {
     }
     c => f(c.cast("binary"))
   }
+  private val z85Index: Array[Int] = {
+    val idx = new Array[Int](128); java.util.Arrays.fill(idx, -1)
+    z85Alphabet.zipWithIndex.foreach { case (ch, i) => idx(ch.toInt) = i }
+    idx
+  }
   val decodeZ85: Column => Column = {
-    val alpha = z85Alphabet
+    val idx = z85Index // decode table built once, captured by the closure
     val f = udf { (s: String) =>
       if (s == null) null
       else if (s.length % 5 != 0)
         throw new IllegalArgumentException("z85 requires input length to be a multiple of 5")
       else {
-        val idx = new Array[Int](128); java.util.Arrays.fill(idx, -1)
-        alpha.zipWithIndex.foreach { case (ch, i) => idx(ch.toInt) = i }
         val bytes = new java.io.ByteArrayOutputStream(s.length / 5 * 4)
         var i = 0
         while (i < s.length) {

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators: deterministic (seedable,
+  * retry-stable) sampling / split assignment, and sequence packing into
+  * fixed token-budget context windows.
+  *
+  * Neither exists in the reference (Benthos moves messages; it does not
+  * curate corpora) — they are the "operations a large-scale training-data
+  * pipeline needs" beyond the reference surface, in the same family as the
+  * dedupe/ANN/quality operators (SURVEY.md §2.7 extension).
+  *
+  * Design constraints at 100 TB:
+  *  - Sampling must be a MAP-SIDE FILTER: no shuffle, no RNG state, no
+  *    driver round-trip — and reproducible across task retries, which
+  *    rules out `rand()` (Spark re-draws on retry; a retried partition
+  *    would emit a different sample). A deterministic hash of a stable key
+  *    gives retry-stable, seedable sampling at scan speed — and pushes
+  *    into the scan when the key is a partition column.
+  *  - Packing must never need a GLOBAL sort or a single-task window: rows
+  *    are sharded by hash(key) into `strata × nShards` independent window
+  *    partitions that pack concurrently (each a few GB at any corpus
+  *    size — nShards scales with the cluster, not the data).
+  *
+  * The per-row hash is pure integer arithmetic (a MINSTD multiplicative
+  * step followed by a quadratic mix, all mod the Mersenne prime 2^31-1),
+  * so any engine computes the identical value — which is what makes these
+  * operators fully DuckDB-oracle-able, unlike xxhash64-based signatures.
+  */
+object TrainPrep {
+
+  /** Modulus 2^31-1 (Mersenne prime M31, the MINSTD modulus). */
+  val M: Long = 2147483647L
+  private val A: Long = 48271L // MINSTD multiplier
+
+  /** Deterministic hash of `key` into [0, M). Two rounds keep it cheap
+    * and overflow-safe in 64-bit signed arithmetic everywhere: h1 ≤ M-1,
+    * so h1*h1 + h1 < 2^62 + 2^31 < Long.MaxValue.
+    */
+  def splitHash(key: Column, seed: Long): Column = {
+    val h0 = pmod(key + lit(seed % M), lit(M))
+    val h1 = pmod(h0 * lit(A), lit(M))
+    pmod(h1 * h1 + h1, lit(M))
+  }
+
+  /** The identical hash as engine-portable SQL (DuckDB oracle twin). */
+  def splitHashSql(key: String, seed: Long): String = {
+    val h1 = s"((($key + ${seed % M}) % $M) * $A) % $M"
+    s"((($h1) * ($h1) + ($h1)) % $M)"
+  }
+
+  /** Keep a deterministic `fraction` of rows, keyed on `key`. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double, seed: Long): DataFrame =
+    df.filter(splitHash(key, seed) < lit((fraction * M).toLong))
+
+  /** Stratified sampling: an independent fraction per stratum value
+    * (quota sampling — e.g. keep 50% of English, 10% of everything else).
+    * One CASE over the stratum column; still a map-side filter.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+      fractions: Map[String, Double], default: Double, seed: Long): DataFrame = {
+    val threshold = fractions.foldLeft(lit((default * M).toLong)) {
+      case (rest, (value, frac)) =>
+        when(strata === lit(value), lit((frac * M).toLong)).otherwise(rest)
+    }
+    df.filter(splitHash(key, seed) < threshold)
+  }
+
+  /** Assign train/validation/test splits by cumulative percentage (e.g.
+    * Seq(("train", 80), ("val", 10), ("test", 10))). Deterministic in the
+    * key: re-running the pipeline — or retrying a task — never migrates a
+    * document across splits (train/test leakage via retry is a real
+    * large-scale failure mode).
+    */
+  def assignSplit(key: Column, splits: Seq[(String, Int)], seed: Long): Column = {
+    require(splits.map(_._2).sum == 100, "split percentages must total 100")
+    val h = splitHash(key, seed)
+    val (cases, _) = splits.init.foldLeft((List.empty[(Column, String)], 0L)) {
+      case ((acc, cum), (name, pct)) =>
+        val hi = cum + pct * M / 100
+        ((h < lit(hi), name) :: acc, hi)
+    }
+    cases.reverse.foldRight(lit(splits.last._1): Column) {
+      case ((cond, name), rest) => when(cond, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining shape):
+    * within each (strata, shard) stream, documents are laid head-to-tail
+    * in `key` order and the token stream is sliced into `budget`-sized
+    * context windows; a document occupies token offsets
+    * [start_off, start_off + tokens) and may straddle a window boundary —
+    * `pack_first`/`pack_last` are the windows it lands in (equal when it
+    * fits inside one). Rows with tokens <= 0 are dropped (they occupy no
+    * tokens).
+    *
+    * All arithmetic is integer (DIV, not floating division), so offsets
+    * stay exact past 2^53 tokens per shard.
+    */
+  def packSequences(df: DataFrame, key: Column, tokens: Column, budget: Long,
+      nShards: Int, strata: Column): DataFrame = {
+    require(budget > 0 && nShards > 0)
+    val shard = pmod(key, lit(nShards.toLong))
+    val w = Window.partitionBy(strata, shard).orderBy(key)
+    df.filter(tokens > 0)
+      .withColumn("tok", tokens.cast("long"))
+      .withColumn("shard", shard)
+      .withColumn("start_off", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("pack_first", expr(s"start_off DIV $budget"))
+      .withColumn("pack_last", expr(s"(start_off + tok - 1) DIV $budget"))
+  }
+}

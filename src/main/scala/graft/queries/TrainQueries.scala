@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.TrainPrep
+import graft.sources.Tables
+
+/** Training-data preparation queries over `documents`: deterministic
+  * stratified sampling + split assignment, and token-budget sequence
+  * packing. Both are pure integer/window arithmetic, so both carry FULL
+  * DuckDB oracles (the thresholds and the hash are built from the same
+  * TrainPrep constants on both sides — they cannot drift apart).
+  */
+object TrainQueries {
+
+  private val SampleSeed = 7L
+  private val SplitSeed = 13L
+  private val Budget = 2048L
+  private val Shards = 16
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Quota sampling (keep 50% of en, 30% of de, 20% of the rest) + a
+    // deterministic 80/10/10 train/val/test assignment on an independent
+    // seed. Map-side filter: no shuffle, no RNG state, retry-stable.
+    "q_sample_stratified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TrainPrep.stratifiedSample(docs, col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.3), default = 0.2, seed = SampleSeed)
+        .select(col("doc_id"), col("lang"),
+          TrainPrep.assignSplit(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = SplitSeed).as("split"))
+    }),
+
+    // Concat-and-chunk packing into 2048-token context windows, sharded
+    // (lang × 16) so every window partition packs independently — no
+    // global sort at any corpus size. Token counts via the native
+    // codegen'd expression (same semantics as q_token_count_native).
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.functions.GraftExtensions.ensure(s)
+      val docs = Tables.documents(s, dir)
+        .withColumn("tok0", expr("graft_token_count(text)").cast("long"))
+      TrainPrep.packSequences(docs, col("doc_id"), col("tok0"),
+          budget = Budget, nShards = Shards, strata = col("lang"))
+        .select(col("doc_id"), col("lang"), col("shard"), col("tok"),
+          col("start_off"), col("pack_first"), col("pack_last"))
+    }))
+
+  // ------------------------------------------------------------- oracles
+
+  private def thr(f: Double): Long = (f * TrainPrep.M).toLong
+  private val trainHi = 80L * TrainPrep.M / 100
+  private val valHi = trainHi + 10L * TrainPrep.M / 100
+  private val h7 = TrainPrep.splitHashSql("doc_id", SampleSeed)
+  private val h13 = TrainPrep.splitHashSql("doc_id", SplitSeed)
+
+  // q_token_count's proven cross-engine word splitter (TextQueries).
+  private val tokSql =
+    "len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'), w -> len(w) > 0))"
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $h13 < $trainHi THEN 'train'
+         |       WHEN $h13 < $valHi THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |WHERE $h7 < CASE lang WHEN 'en' THEN ${thr(0.5)}
+         |                      WHEN 'de' THEN ${thr(0.3)}
+         |                      ELSE ${thr(0.2)} END""".stripMargin,
+    "q_pack_sequences" ->
+      s"""SELECT doc_id, lang, shard, tok, start_off,
+         |  start_off // $Budget AS pack_first,
+         |  (start_off + tok - 1) // $Budget AS pack_last
+         |FROM (
+         |  SELECT doc_id, lang, shard, tok,
+         |    CAST(sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+         |      AS BIGINT) - tok AS start_off
+         |  FROM (
+         |    SELECT doc_id, lang, doc_id % $Shards AS shard,
+         |      CAST($tokSql AS BIGINT) AS tok
+         |    FROM documents)
+         |  WHERE tok > 0)""".stripMargin
+  )
+}

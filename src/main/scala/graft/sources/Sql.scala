@@ -130,15 +130,27 @@ object Sql {
     base.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else new Iterator[Row] {
-        // lazy so a bad DSN or unpreparable query surfaces per row via the
-        // error column (the processor error contract), not as a task crash
-        private lazy val conn = DriverManager.getConnection(dsn)
-        private lazy val st = conn.prepareStatement(query)
-        private var closed = false
-        private def closeQuietly(): Unit = if (!closed) {
-          closed = true
-          try { st.close(); conn.close() } catch { case _: Exception => () }
+        // opened on first use so a bad DSN or unpreparable query surfaces
+        // per row via the error column (the processor error contract), not
+        // as a task crash
+        private var conn: Connection = null
+        private var st: PreparedStatement = null
+        private def stmt(): PreparedStatement = {
+          if (st == null) {
+            conn = DriverManager.getConnection(dsn)
+            st = conn.prepareStatement(query)
+          }
+          st
         }
+        private def closeQuietly(): Unit = {
+          try { if (st != null) st.close() } catch { case _: Exception => () }
+          try { if (conn != null) conn.close() } catch { case _: Exception => () }
+          st = null; conn = null
+        }
+        // a downstream limit can drop the iterator before it drains — the
+        // task-completion hook closes the connection either way
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeQuietly()))
         override def hasNext: Boolean = {
           val h = rows.hasNext
           if (!h) closeQuietly()
@@ -148,6 +160,7 @@ object Sql {
           val row = rows.next()
           val vals = row.toSeq.toArray
           try {
+            val st = stmt()
             argIdx.zipWithIndex.foreach { case (ci, pi) =>
               st.setObject(pi + 1, row.get(ci))
             }
