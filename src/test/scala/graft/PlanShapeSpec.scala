@@ -108,6 +108,25 @@ class PlanShapeSpec extends SparkTestBase {
       s"unpruned scan: $schemaLine")
   }
 
+  test("q_sample_stratified is a pure map-side filter: zero exchanges") {
+    // deterministic sampling must never shuffle — it's a scan-speed filter
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("Exchange"), s"sampler plans a shuffle:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q_pack_sequences shuffles exactly once, on (strata, shard)") {
+    // packing must stay one hash(lang, shard) exchange + per-partition
+    // window sort — no global sort, no second shuffle
+    val p = plan("q_pack_sequences")
+    val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(nExchange == 1, s"q_pack_sequences has $nExchange exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Exchange SinglePartition") && !p.contains("Exchange rangepartitioning"),
+      s"packing fell into a global sort:\n$p")
+  }
+
   test("conv-keyed pipeline reuses one hash(conv_id) exchange (q_group_by_value)") {
     val p = plan("q_group_by_value")
     val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).size
