@@ -124,30 +124,6 @@ object Bench {
     val skipSkew = sys.env.get("SPARK_GRAFT_SKEW").contains("0")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
 
-    // ---- batch query timings -------------------------------------------
-    // failures are surfaced (stderr + sentinel -1), never folded into the
-    // total as if they were timings
-    val results: Seq[(String, Double)] = if (scalingOnly) Seq.empty else {
-      val spark = session(cpus)
-      // absorb JVM/codegen warmup so the first measured query isn't penalized
-      spark.range(10000000L).selectExpr("sum(id * 2)").collect()
-      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          exhaust(fn(spark, sfDir))
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-            name -> -1.0
-        }
-      }
-      spark.stop()
-      rs
-    }
-    val total = results.filter(_._2 >= 0).map(_._2).sum
-    val nFailed = results.count(_._2 < 0)
-
     // ---- stage deterministic inputs once -------------------------------
     val sGen = session(cpus)
     val warmDir = Flagship.stage(sGen, 2000L, nFiles = fpt)
@@ -262,6 +238,36 @@ object Bench {
       System.err.println(f"[bench] scaling pair $lo->$hi convs=$n tps_lo=${bestTps(lo, n)}%.0f tps_hi=${bestTps(hi, n)}%.0f efficiency=$eff%.3f")
       s"""{"lo":$lo,"hi":$hi,"convs":$n,"tps_lo":${f(bestTps(lo, n))},"tps_hi":${f(bestTps(hi, n))},"efficiency":${f(eff)}}"""
     }
+
+    // ---- batch query timings (LAST, deliberately) -----------------------
+    // The sweep's nine streaming rigs leave JVM-level residue (native
+    // allocator arenas, GC history) that no per-run provider unload
+    // recovers: with the sweep FIRST, the flagship read 1.5-2.2 M
+    // turns/s with descending trials; sweep-last, 2.4-2.75 M ascending —
+    // same binary, same input, same clean window. The sweep itself is
+    // order-insensitive (independent sessions, per-query timings).
+    // Failures are surfaced (stderr + sentinel -1), never folded into the
+    // total as if they were timings.
+    val results: Seq[(String, Double)] = if (scalingOnly) Seq.empty else {
+      val spark = session(cpus)
+      // absorb JVM/codegen warmup so the first measured query isn't penalized
+      spark.range(10000000L).selectExpr("sum(id * 2)").collect()
+      val rs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          exhaust(fn(spark, sfDir))
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            name -> -1.0
+        }
+      }
+      spark.stop()
+      rs
+    }
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val nFailed = results.count(_._2 < 0)
 
     // ---- full detail: sidecar file + stderr ----------------------------
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
