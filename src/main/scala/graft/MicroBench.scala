@@ -79,6 +79,18 @@ object MicroBench {
     time("cosine_i8 native") {
       qvecs.select(sum(expr("graft_cosine_i8(q, reverse(q))"))).head().getDouble(0).toLong
     }
+    // training-prep ops at corpus scale: the sampler must run at scan
+    // speed (pure integer column math, zero shuffles) and packing at
+    // one-shuffle window speed across 2M docs / 128 shards
+    time("hash_sample 2M (map-side)") {
+      graft.ops.TrainPrep.hashSample(texts, col("id"), 0.25, seed = 7).count()
+    }
+    time("pack_sequences 2M/128shard") {
+      graft.ops.TrainPrep.packSequences(
+        texts.withColumn("tok", expr("graft_token_count(text)").cast("long")),
+        col("id"), col("tok"), budget = 2048, nShards = 128, strata = lit("all"))
+        .select(sum(col("pack_last"))).head().getLong(0)
+    }
     spark.stop()
   }
 }
