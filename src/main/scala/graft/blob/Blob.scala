@@ -411,7 +411,8 @@ object Blob {
         while (i < s.length) {
           var v = 0L
           (0 until 5).foreach { j =>
-            val d = idx(s.charAt(i + j).toInt)
+            val ch = s.charAt(i + j).toInt
+            val d = if (ch < 128) idx(ch) else -1
             if (d < 0) throw new IllegalArgumentException(
               s"invalid z85 character '${s.charAt(i + j)}'")
             v = v * 85 + d

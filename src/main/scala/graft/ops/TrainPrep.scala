@@ -36,20 +36,34 @@ object TrainPrep {
   val M: Long = 2147483647L
   private val A: Long = 48271L // MINSTD multiplier
 
-  /** Deterministic hash of `key` into [0, M). Two rounds keep it cheap
-    * and overflow-safe in 64-bit signed arithmetic everywhere: h1 ≤ M-1,
-    * so h1*h1 + h1 < 2^62 + 2^31 < Long.MaxValue.
+  /** Deterministic hash of `key` into [0, M). The seed is injected
+    * BETWEEN two quadratic rounds, never added to the key: an additive
+    * pre-mix seed makes any two seeds mere key-space shifts of one
+    * another (hash(k, s2) == hash(k + (s2-s1), s1) when the pipeline is
+    * affine in k+s), which silently correlates a sample drawn under one
+    * seed with the split assigned under another. With the seed inside
+    * the nonlinearity, equal outputs across seeds require a per-key
+    * quadratic coincidence, not a fixed offset. All stages are
+    * overflow-safe in 64-bit signed arithmetic: h ≤ M-1, so
+    * h*h + h + s < 2^62 + 2^32 < Long.MaxValue.
     */
   def splitHash(key: Column, seed: Long): Column = {
-    val h0 = pmod(key + lit(seed % M), lit(M))
+    val h0 = pmod(key, lit(M))
     val h1 = pmod(h0 * lit(A), lit(M))
-    pmod(h1 * h1 + h1, lit(M))
+    val h2 = pmod(h1 * h1 + h1 + lit(seed % M), lit(M))
+    pmod(h2 * h2 + h2, lit(M))
   }
 
-  /** The identical hash as engine-portable SQL (DuckDB oracle twin). */
+  /** The identical hash as engine-portable SQL (DuckDB oracle twin).
+    * Plain `%` follows the dividend's sign in SQL, so the first stage
+    * double-mods to stay non-negative for negative keys, matching
+    * `pmod`; every later stage is non-negative by construction.
+    */
   def splitHashSql(key: String, seed: Long): String = {
-    val h1 = s"((($key + ${seed % M}) % $M) * $A) % $M"
-    s"((($h1) * ($h1) + ($h1)) % $M)"
+    val h0 = s"((($key) % $M + $M) % $M)"
+    val h1 = s"(($h0 * $A) % $M)"
+    val h2 = s"((($h1) * ($h1) + ($h1) + ${seed % M}) % $M)"
+    s"((($h2) * ($h2) + ($h2)) % $M)"
   }
 
   /** Keep a deterministic `fraction` of rows, keyed on `key`. */
@@ -97,6 +111,13 @@ object TrainPrep {
     * fits inside one). Rows with tokens <= 0 are dropped (they occupy no
     * tokens).
     *
+    * `key` MUST be unique (a document id): it is both the layout order
+    * and the only tie-breaker. With duplicate keys the layout order of
+    * the peers is undefined, so no windowed formulation can assign them
+    * disjoint spans deterministically — the ROWS frame below keeps each
+    * row's span disjoint even then, but which peer comes first is
+    * engine-dependent.
+    *
     * All arithmetic is integer (DIV, not floating division), so offsets
     * stay exact past 2^53 tokens per shard.
     */
@@ -104,7 +125,11 @@ object TrainPrep {
       nShards: Int, strata: Column): DataFrame = {
     require(budget > 0 && nShards > 0)
     val shard = pmod(key, lit(nShards.toLong))
+    // ROWS, not the default RANGE frame: RANGE sums all ORDER BY peers
+    // into every peer's cumulative, so duplicate keys would get equal
+    // overlapping offsets instead of consecutive disjoint ones
     val w = Window.partitionBy(strata, shard).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.filter(tokens > 0)
       .withColumn("tok", tokens.cast("long"))
       .withColumn("shard", shard)

@@ -74,7 +74,8 @@ object TrainQueries {
          |  (start_off + tok - 1) // $Budget AS pack_last
          |FROM (
          |  SELECT doc_id, lang, shard, tok,
-         |    CAST(sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+         |    CAST(sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |      AS BIGINT) - tok AS start_off
          |  FROM (
          |    SELECT doc_id, lang, doc_id % $Shards AS shard,

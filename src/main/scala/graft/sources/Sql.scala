@@ -136,8 +136,11 @@ object Sql {
         private var conn: Connection = null
         private var st: PreparedStatement = null
         private def stmt(): PreparedStatement = {
+          // reuse an already-open connection when only prepare failed:
+          // re-connecting per row would leak the previous connection and
+          // can exhaust the database's connection limit over a partition
           if (st == null) {
-            conn = DriverManager.getConnection(dsn)
+            if (conn == null) conn = DriverManager.getConnection(dsn)
             st = conn.prepareStatement(query)
           }
           st

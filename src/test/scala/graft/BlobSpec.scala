@@ -158,6 +158,14 @@ class BlobSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("multiple of 4") ||
       Option(e.getCause).exists(_.getMessage.contains("multiple of 4")))
+    // a non-ASCII char must hit the invalid-character contract, not an
+    // ArrayIndexOutOfBounds from the 128-entry decode table
+    val e2 = intercept[Exception] {
+      Seq("ab€de").toDF("t").select(Blob.decodeZ85(col("t"))).as[Array[Byte]].head()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("invalid z85 character")) || mentions(t.getCause))
+    assert(mentions(e2), s"wrong error: $e2")
   }
 
   test("collapse flattens nested JSON to dot paths with array indexes") {

@@ -123,7 +123,12 @@ class PlanShapeSpec extends SparkTestBase {
     val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(nExchange == 1, s"q_pack_sequences has $nExchange exchanges:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
-    assert(!p.contains("Exchange SinglePartition") && !p.contains("Exchange rangepartitioning"),
+    // FormattedMode puts the partitioning on the Exchange's Arguments
+    // line, so match the partitioning names themselves — a literal
+    // "Exchange SinglePartition" substring never occurs in this format
+    assert(p.contains("hashpartitioning"),
+      s"packing exchange is not hash-partitioned:\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("rangepartitioning"),
       s"packing fell into a global sort:\n$p")
   }
 

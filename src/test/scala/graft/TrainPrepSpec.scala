@@ -25,6 +25,15 @@ class TrainPrepSpec extends SparkTestBase {
     val h2 = keys(10000).select(TrainPrep.splitHash(col("k"), 8).as("h"))
     assert(h.collect().map(_.getLong(0)).zip(h2.collect().map(_.getLong(0)))
       .count { case (a, b) => a == b } < 5)
+    // and specifically NOT a key-space shift: with the seed added to the
+    // key before the multiply (the rejected design), hash(k, 13) equals
+    // hash(k + 6, 7) for EVERY k — the seed must enter the nonlinearity
+    val viaSeed13 = keys(10000).select(TrainPrep.splitHash(col("k"), 13))
+      .collect().map(_.getLong(0))
+    val viaShift6 = keys(10000).select(TrainPrep.splitHash(col("k") + lit(6), 7))
+      .collect().map(_.getLong(0))
+    assert(viaSeed13.zip(viaShift6).count { case (a, b) => a == b } < 5,
+      "seeds are key-space shifts of each other")
   }
 
   test("splitHash matches its SQL twin (the oracle cannot drift)") {
