@@ -123,6 +123,7 @@ object Proto {
       val c = noLine.charAt(i)
       if (c == '"' || c == '\'') {
         val q = c; val j = noLine.indexOf(q, i + 1)
+        if (j < 0) err("unterminated string literal in .proto source")
         sb.append(" ").append(noLine.substring(i + 1, j)).append(" ")
         i = j + 1
       } else {
@@ -157,22 +158,23 @@ object Proto {
     def parseEnum(scope: String): Unit = {
       val name = next(); expect("{")
       val byName = Map.newBuilder[String, Int]
-      val byNum = Map.newBuilder[Int, String]
+      // declaration order preserved so the FIRST name for an aliased
+      // number wins (allow_alias) — a plain Map builder lets the last
+      // duplicate overwrite, and hash-order rebuilds pick arbitrarily
+      val byNum = scala.collection.mutable.LinkedHashMap.empty[Int, String]
       while (peek != "}") {
         if (peek == "option" || peek == "reserved") skipStatement()
         else {
           val vName = next(); expect("="); val vNum = next().toInt
-          // first name wins for byNum (allow_alias)
           byName += vName -> vNum
-          byNum += vNum -> vName
+          if (!byNum.contains(vNum)) byNum(vNum) = vName
           if (peek == "[") { while (next() != "]") {} }
           expect(";")
         }
       }
       expect("}")
       val fq = if (scope.isEmpty) name else s"$scope.$name"
-      val bn = byName.result()
-      enums += fq -> EnumDesc(fq, bn, bn.groupMapReduce(_._2)(_._1)((a, _) => a))
+      enums += fq -> EnumDesc(fq, byName.result(), byNum.toMap)
     }
     def parseFieldInto(scope: String, fields: scala.collection.mutable.ArrayBuffer[Field],
         syntheticMsgs: scala.collection.mutable.ArrayBuffer[MessageDesc]): Unit = {
@@ -366,7 +368,13 @@ object Proto {
       val innerFq = tUrl.substring(tUrl.lastIndexOf('/') + 1)
       val stripped = node.deepCopy[ObjectNode]()
       stripped.remove("@type")
-      val innerBytes = encodeMessage(fs, innerFq, stripped)
+      // a well-known inner type with a scalar JSON form round-trips as
+      // {"@type": ..., "value": "<scalar>"} (the shape our decoder emits)
+      val innerNode: JsonNode =
+        if (innerFq == "google.protobuf.Timestamp" && stripped.size() == 1 && stripped.has("value"))
+          stripped.get("value")
+        else stripped
+      val innerBytes = encodeMessage(fs, innerFq, innerNode)
       val urlBytes = tUrl.getBytes(UTF_8)
       writeTag(1, 2, out); writeVarint(urlBytes.length.toLong, out); out.write(urlBytes, 0, urlBytes.length)
       writeTag(2, 2, out); writeVarint(innerBytes.length.toLong, out); out.write(innerBytes, 0, innerBytes.length)
@@ -431,22 +439,33 @@ object Proto {
 
   private final class WireReader(b: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
+    // every read is bounds-checked against `end`: Arrays.copyOfRange
+    // zero-pads past the array and cross-`end` reads decode a sibling
+    // field's bytes as data — truncated/corrupt input must ERROR (the
+    // reference's unmarshal contract), never silently produce values
+    private def need(n: Int): Unit =
+      if (pos + n > end) err(s"truncated message: need $n bytes at offset $pos, have ${end - pos}")
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (true) {
+        need(1)
         val x = b(pos); pos += 1
         v |= (x & 0x7fL) << shift
         if ((x & 0x80) == 0) return v
         shift += 7
+        if (shift > 63) err("malformed varint (more than 10 bytes)")
       }
       v
     }
     def le(n: Int): Long = {
+      need(n)
       var v = 0L; var i = 0
       while (i < n) { v |= (b(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += n; v
     }
     def bytes(n: Int): Array[Byte] = {
+      if (n < 0) err(s"negative length $n")
+      need(n)
       val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
     }
   }
@@ -499,7 +518,10 @@ object Proto {
           wt match {
             case 0 => r.varint()
             case 1 => r.le(8)
-            case 2 => val n = r.varint().toInt; r.pos += n
+            case 2 =>
+              val n = r.varint().toInt
+              if (n < 0 || r.pos + n > r.end) err(s"truncated message: unknown field $num overruns the buffer")
+              r.pos += n
             case 5 => r.le(4)
             case other => err(s"unsupported wire type $other for unknown field $num")
           }
@@ -507,11 +529,13 @@ object Proto {
           f.tpe match {
             case TMessage(innerFq) if wt == 2 =>
               val len = r.varint().toInt
+              if (len < 0 || r.pos + len > r.end) err(s"truncated message: field $num overruns the buffer")
               put(num, decodeRange(fs, innerFq, b, r.pos, r.pos + len))
               r.pos += len
             case t if wt == 2 && wtype(t) != 2 && f.repeated =>
               // packed numeric
               val len = r.varint().toInt
+              if (len < 0 || r.pos + len > r.end) err(s"truncated message: packed field $num overruns the buffer")
               val sub = new WireReader(b, r.pos, r.pos + len)
               while (sub.hasNext) put(num, decodeScalar(fs, t, sub, fac))
               r.pos += len
@@ -546,8 +570,10 @@ object Proto {
         if (f.isMap) {
           val m = fac.objectNode()
           vs.foreach { entry =>
-            val k = Option(entry.get("key")).map(n => if (n.isTextual) n.asText() else n.asText())
-              .getOrElse("")
+            // a wire-absent key is the key type's DEFAULT (0 / false / ""),
+            // not the empty string — our own encoder omits default keys
+            val k = Option(entry.get("key")).map(_.asText())
+              .getOrElse(defaultJson(fs, mapKeyType(fs, f), fac).asText())
             m.set[JsonNode](k, Option(entry.get("value")).getOrElse(defaultJson(fs, mapValueType(fs, f), fac)))
           }
           o.set[JsonNode](f.jsonName, m)
@@ -564,6 +590,11 @@ object Proto {
   private def mapValueType(fs: FileSet, f: Field): PType = {
     val TMessage(entryFq) = (f.tpe: @unchecked)
     fs.message(entryFq).fields(1).tpe
+  }
+
+  private def mapKeyType(fs: FileSet, f: Field): PType = {
+    val TMessage(entryFq) = (f.tpe: @unchecked)
+    fs.message(entryFq).fields.head.tpe
   }
 
   private def defaultJson(fs: FileSet, t: PType, fac: JsonNodeFactory): JsonNode = t match {

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.nio.charset.StandardCharsets.UTF_8
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 
@@ -43,7 +42,9 @@ object Dynamic {
   final class FanIn(spark: SparkSession, val spoolDir: String,
       onAdd: String => Unit = _ => (), onRemove: String => Unit = _ => ()) {
     Files.createDirectories(Paths.get(spoolDir))
-    private val stagers = new ConcurrentHashMap[String, Option[StreamingQuery]]()
+    // member name -> (stager query, its checkpoint dir) for streaming
+    // members; None for one-shot batch members
+    private val stagers = new ConcurrentHashMap[String, Option[(StreamingQuery, String)]]()
 
     /** The one downstream stream: every current and future member's rows,
       * with the member name as the `input` column.
@@ -61,26 +62,47 @@ object Dynamic {
     /** Add (or replace, reference semantics: upsert) a named input. A
       * streaming frame runs a continuous stager; a batch frame stages
       * once. `df` must have a single string column.
+      *
+      * Replacing a streaming member starts the NEW frame from its own
+      * beginning (a replaced input is a new input, exactly the
+      * reference's SetInput semantics) — rows its predecessor already
+      * staged remain in the spool, so a re-add of the same source
+      * re-stages them; key the member name by source if that matters.
+      *
+      * `synchronized`: the registry models a runtime REST surface, so
+      * two concurrent add()s of one name must not both start stagers —
+      * a lost stager would keep writing forever, unreachable by
+      * remove().
       */
-    def add(name: String, df: DataFrame): Unit = {
+    def add(name: String, df: DataFrame): Unit = synchronized {
       remove(name) // upsert: the reference stops an existing input first
       val dir = s"$spoolDir/input=$name"
       Files.createDirectories(Paths.get(dir))
       val q =
-        if (df.isStreaming)
-          Some(df.writeStream
+        if (df.isStreaming) {
+          val ck = s"$spoolDir/.ckpt-$name-${UUID.randomUUID()}"
+          Some((df.writeStream
             .format("text")
             .option("path", dir)
-            .option("checkpointLocation", s"$spoolDir/.ckpt-$name-${UUID.randomUUID()}")
+            .option("checkpointLocation", ck)
             .trigger(Trigger.ProcessingTime(0))
-            .start())
-        else {
-          // one-shot: stage atomically so the consumer never sees partials
-          val rows = df.collectToLines()
-          val tmp = Paths.get(dir, s".tmp-${UUID.randomUUID()}")
-          Files.write(tmp, rows.mkString("\n").getBytes(UTF_8))
-          Files.move(tmp, Paths.get(dir, s"part-${UUID.randomUUID()}.txt"),
-            StandardCopyOption.ATOMIC_MOVE)
+            .start(), ck))
+        } else {
+          // one-shot: stage distributed into a hidden tmp dir (dot-prefixed
+          // files/dirs are invisible to the file stream), then move the
+          // part files in atomically so the consumer never sees partials —
+          // no driver-side collect of the member's data
+          require(df.schema.fields.length == 1, "dynamic input frames carry one string column")
+          val tmp = s"$spoolDir/.stage-$name-${UUID.randomUUID()}"
+          df.write.format("text").save(tmp)
+          val listing = Files.list(Paths.get(tmp))
+          try listing.forEach { p =>
+            val fn = p.getFileName.toString
+            if (fn.startsWith("part-"))
+              Files.move(p, Paths.get(dir, s"${UUID.randomUUID()}-$fn"),
+                StandardCopyOption.ATOMIC_MOVE)
+          } finally listing.close()
+          graft.util.Tmp.delete(tmp)
           None
         }
       stagers.put(name, q)
@@ -88,12 +110,17 @@ object Dynamic {
     }
 
     /** Stop and deregister a named input (files already staged remain —
-      * the reference also completes in-flight messages on removal).
+      * the reference also completes in-flight messages on removal). The
+      * stager's checkpoint is deleted: a replaced member never resumes
+      * it, so keeping it would leak one tree per upsert.
       */
-    def remove(name: String): Unit = {
+    def remove(name: String): Unit = synchronized {
       val q = stagers.remove(name)
       if (q != null) {
-        q.foreach(_.stop())
+        q.foreach { case (query, ck) =>
+          query.stop()
+          graft.util.Tmp.delete(ck)
+        }
         onRemove(name)
       }
     }
@@ -101,13 +128,6 @@ object Dynamic {
     def inputs: Seq[String] = stagers.keys.asScala.toSeq.sorted
 
     def close(): Unit = inputs.foreach(remove)
-
-    private implicit class Collector(df: DataFrame) {
-      def collectToLines(): Seq[String] = {
-        require(df.schema.fields.length == 1, "dynamic input frames carry one string column")
-        df.collect().map(r => String.valueOf(r.get(0))).toSeq
-      }
-    }
   }
 
   // ---------------------------------------------------------- dynamic output

@@ -15,6 +15,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
 class Metrics extends StreamingQueryListener {
 
   case class Snapshot(
+      query: String, // query name (or run id) — a session can run N streams
       batchId: Long,
       inputReceived: Long, // reference: input_received
       outputSent: Long, // reference: output_sent
@@ -36,8 +37,11 @@ class Metrics extends StreamingQueryListener {
     val stateBytes = if (state.isEmpty) 0L else state.map(_.memoryUsedBytes).sum
     val wmLag = watermarkLagMs(p.eventTime)
     val latency = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+    // the listener is session-wide: without the query identity, N
+    // concurrent streams' snapshots interleave indistinguishably
+    val q = Option(p.name).getOrElse(p.id.toString)
     snapshots.synchronized {
-      snapshots += Snapshot(p.batchId, p.numInputRows,
+      snapshots += Snapshot(q, p.batchId, p.numInputRows,
         Option(p.sink).map(_.numOutputRows).getOrElse(-1L),
         p.processedRowsPerSecond, stateRows, stateBytes, wmLag, latency)
     }
@@ -89,8 +93,13 @@ object Metrics {
   }
 
   /** Tap a frame with per-partition row/time counters for `stage`. The
-    * counter registers a task-completion listener, so partial drains and
-    * failures still record; pass-through is a narrow map (no shuffle, no
+    * counter registers a task-completion listener, so a partial drain by
+    * a downstream limit still records the rows actually produced.
+    * Accumulator semantics caveats: Spark discards accumulator updates
+    * from FAILED task attempts (only successful attempts merge), and a
+    * stage retry re-running a succeeded task records that partition
+    * twice — read the tap as "per successful task attempt", not as an
+    * exactly-once ledger. Pass-through is a narrow map (no shuffle, no
     * barrier), so the tap composes anywhere in a batch or streaming plan.
     */
   def tap(df: org.apache.spark.sql.DataFrame, stage: String,

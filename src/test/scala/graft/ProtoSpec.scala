@@ -219,4 +219,64 @@ class ProtoSpec extends AnyFunSuite with SparkTestBase {
     assert(rt("""{"raw":"aGVsbG8="}""") === """{"raw":"aGVsbG8="}""")
     assert(rt("""{"a":"x"}""") === """{"a":"x"}""")
   }
+
+  test("truncated/corrupt wire input errors instead of zero-padding") {
+    val valid = enc("testing.Person", """{"firstName":"caleb","email":"caleb@myspace.com"}""")
+    // cut mid-string: the length prefix promises more bytes than remain
+    val truncated = valid.take(valid.length - 3)
+    val e = intercept[Exception] { dec("testing.Person", truncated) }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // a nested length that overruns its enclosing buffer also errors
+    val overrun = Array[Int](0x3a, 0x7f, 0x01).map(_.toByte) // field 7 len 127, 1 byte present
+    val e2 = intercept[Exception] { dec("testing.Person", overrun) }
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+  }
+
+  test("map entry with a default key round-trips the key, not an empty string") {
+    val schema =
+      """syntax = "proto3";
+        |package t;
+        |message M { map<int32, string> m = 1; map<bool, int32> bm = 2; }
+        |""".stripMargin
+    val fs2 = Proto.compile(Seq(schema))
+    def rt(json: String): String =
+      new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(
+        Proto.decodeMessage(fs2, "t.M", Proto.encodeMessage(fs2, "t.M",
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))))
+    // key 0 / key false are type defaults: omitted on the wire, restored on decode
+    assert(rt("""{"m":{"0":"x","3":"y"}}""") === """{"m":{"0":"x","3":"y"}}""")
+    assert(rt("""{"bm":{"false":7}}""") === """{"bm":{"false":7}}""")
+  }
+
+  test("Any wrapping a well-known scalar-form type round-trips") {
+    val wire = enc("testing.Envelope",
+      """{"id":1,"content":{"@type":"type.googleapis.com/google.protobuf.Timestamp","value":"2021-06-02T10:15:30Z"}}""")
+    assert(dec("testing.Envelope", wire) ===
+      """{"id":1,"content":{"@type":"type.googleapis.com/google.protobuf.Timestamp","value":"2021-06-02T10:15:30Z"}}""")
+  }
+
+  test("enum allow_alias: the first declared name for a number wins on decode") {
+    val schema =
+      """syntax = "proto3";
+        |package t;
+        |enum E {
+        |  option allow_alias = true;
+        |  ZERO = 0; FIRST = 1; ALIAS_A = 2; ALIAS_B = 2; OTHER = 3; MORE = 4; YET = 5;
+        |}
+        |message M { E e = 1; }
+        |""".stripMargin
+    val fs2 = Proto.compile(Seq(schema))
+    val wire = Proto.encodeMessage(fs2, "t.M",
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree("""{"e":"ALIAS_B"}"""))
+    val back = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(
+      Proto.decodeMessage(fs2, "t.M", wire))
+    assert(back === """{"e":"ALIAS_A"}""")
+  }
+
+  test("unterminated string literal in a .proto source is a parse error") {
+    val e = intercept[Exception] {
+      Proto.compile(Seq("syntax = \"proto3;\npackage t;\nmessage M { int32 a = 1; }"))
+    }
+    assert(e.getMessage.contains("unterminated"), e.getMessage)
+  }
 }
