@@ -18,15 +18,48 @@ import graft.streaming.Sink
   */
 final case class Topology(
     input: SparkSession => DataFrame,
-    processors: Vector[DataFrame => DataFrame] = Vector.empty) {
+    procs: Vector[Topology.Proc] = Vector.empty) {
+
+  def processors: Vector[DataFrame => DataFrame] = procs.map(_.f)
 
   /** Append a processor (the reference's pipeline layer adds them in config
     * order; order is preserved, reference internal/pipeline/processor.go:44-121).
     */
-  def proc(p: DataFrame => DataFrame): Topology = copy(processors = processors :+ p)
+  def proc(p: DataFrame => DataFrame): Topology =
+    copy(procs = procs :+ Topology.Proc(None, p))
+
+  /** Append a labeled processor (the reference's `label:` field,
+    * internal/docs/field.go component labels) — labels are the stable
+    * addresses the unit-test mock mechanism targets.
+    */
+  def procLabeled(label: String, p: DataFrame => DataFrame): Topology =
+    copy(procs = procs :+ Topology.Proc(Some(label), p))
+
+  /** The reference test runner's `mocks:` mechanism (reference:
+    * internal/cli/test/case.go:66-93 + docs/modules/configuration/pages/
+    * unit_testing.adoc "mocks"): each key addresses a processor either by
+    * its label or by JSON pointer path `/pipeline/processors/<i>`, and the
+    * addressed processor is REPLACED by the mock before the pipeline runs;
+    * the append form `/pipeline/processors/-` adds a processor at the end.
+    * Unknown targets are an error, as in the reference (a silently
+    * unmatched mock would make the test vacuous).
+    */
+  def withMocks(mocks: Map[String, DataFrame => DataFrame]): Topology = {
+    val PathIdx = raw"/pipeline/processors/(\d+)".r
+    val (appends, replaces) = mocks.partition(_._1 == "/pipeline/processors/-")
+    val replaced = replaces.foldLeft(procs) { case (ps, (target, mock)) =>
+      val idx = target match {
+        case PathIdx(i) => i.toInt
+        case label      => ps.indexWhere(_.label.contains(label))
+      }
+      require(idx >= 0 && idx < ps.size, s"mock target not found: $target")
+      ps.updated(idx, ps(idx).copy(f = mock))
+    }
+    copy(procs = replaced ++ appends.values.map(Topology.Proc(None, _)))
+  }
 
   def build(spark: SparkSession): DataFrame =
-    processors.foldLeft(input(spark))((df, p) => p(df))
+    procs.foldLeft(input(spark))((df, p) => p.f(df))
 
   /** Run with the exactly-once sink. */
   def run(spark: SparkSession, outDir: String, checkpointDir: String,
@@ -35,6 +68,9 @@ final case class Topology(
 }
 
 object Topology {
+
+  /** One pipeline layer: an optional `label:` plus the transform. */
+  final case class Proc(label: Option[String], f: DataFrame => DataFrame)
 
   /** fan_in broker (reference: internal/impl/pure/input_broker_fan_in.go):
     * merge N inputs into one stream.

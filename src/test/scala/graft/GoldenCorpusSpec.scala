@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.blob.Blob
 import graft.ops.Transforms
@@ -303,6 +303,76 @@ class GoldenCorpusSpec extends SparkTestBase {
     val (content, meta) = got.as[(String, Map[String, String])].head()
     assert(content == "EXAMPLE CONTENTend")
     assert(meta == Map("example_key" -> "example metadata value"))
+  }
+
+  test("mock_http_proc.yaml: mock by label replaces the http processor") {
+    // reference: config/test/mock_http_proc.yaml test 1 — the `mocks:` map
+    // replaces the labeled `get_foobar_api` http processor with a mapping
+    // before the pipeline runs; the real endpoint is never contacted.
+    val got = mockHttpTopology(labeled = true)
+      .withMocks(Map("get_foobar_api" -> ((df: DataFrame) =>
+        df.withColumn("content", concat(col("content"), lit(" this is some mock content"))))))
+      .build(spark).select("content").as[String].head()
+    assert(got == "SIMON SAYS: HELLO WORLD THIS IS SOME MOCK CONTENT")
+  }
+
+  test("mock_http_proc_path.yaml: mock by /pipeline/processors/<i> pointer") {
+    // reference: config/test/mock_http_proc_path.yaml test 1 — same pipeline
+    // with no label; the mock addresses processor index 1 by JSON pointer.
+    val got = mockHttpTopology(labeled = false)
+      .withMocks(Map("/pipeline/processors/1" -> ((df: DataFrame) =>
+        df.withColumn("content", concat(col("content"), lit(" this is some mock content"))))))
+      .build(spark).select("content").as[String].head()
+    assert(got == "SIMON SAYS: HELLO WORLD THIS IS SOME MOCK CONTENT")
+  }
+
+  test("mock_http_proc.yaml: throwing mock sets error; appended /- processor exposes it") {
+    // reference: config/test/mock_http_proc.yaml test 2 — the mock is
+    // `root = throw("the processor failed")`: a failed mapping leaves the
+    // part content UNCHANGED and sets the error flag (bloblang throw,
+    // reference internal/bloblang/mapping/executor.go failed-assignment
+    // path), downstream processors still apply (only try/catch gate on the
+    // flag), and the `/pipeline/processors/-` mock APPENDS a processor
+    // exposing {content, error} — expected error text copied verbatim.
+    val errMsg = "failed assignment (line 1): the processor failed"
+    val got = mockHttpTopology(labeled = true)
+      .withMocks(Map(
+        "get_foobar_api" -> ((df: DataFrame) =>
+          ops.Errors.markError(df, lit(true), lit(errMsg))),
+        "/pipeline/processors/-" -> ((df: DataFrame) =>
+          df.select(col("content"), col(ops.Errors.ErrCol)))))
+      .build(spark)
+    val (content, err) = got.as[(String, String)].head()
+    assert(content == "SIMON SAYS: HELLO WORLD") // json_equals .content
+    assert(err == errMsg)                        // json_equals .error
+  }
+
+  test("mocks: unknown target is an error, not a vacuous pass") {
+    // reference: internal/cli/test/case.go — an unmatched mock target fails
+    // the test definition rather than silently running the real processor.
+    val e = intercept[IllegalArgumentException] {
+      mockHttpTopology(labeled = true).withMocks(Map("no_such_label" ->
+        ((df: DataFrame) => df)))
+    }
+    assert(e.getMessage.contains("no_such_label"))
+  }
+
+  /** The mock_http pipeline: bloblang prefix → (labeled) http GET →
+    * bloblang uppercase (reference: config/test/mock_http_proc{,_path}.yaml
+    * pipeline block). The http stage is the REAL processor — tests replace
+    * it via mocks exactly as the reference runner does.
+    */
+  private def mockHttpTopology(labeled: Boolean): graft.topo.Topology = {
+    val http = (df: DataFrame) =>
+      graft.sources.Http.enrich(df, "http://example.com/foobar", "content", "GET")
+    val base = graft.topo.Topology(s => {
+        import s.implicits._
+        Seq("hello world").toDF("content")
+      })
+      .proc(df => df.withColumn("content", concat(lit("simon says: "), col("content"))))
+    val withHttp =
+      if (labeled) base.procLabeled("get_foobar_api", http) else base.proc(http)
+    withHttp.proc(df => df.withColumn("content", upper(col("content"))))
   }
 
   test("windowed.yaml values survive end-to-end through the tumbling query shape") {
