@@ -21,24 +21,33 @@ import org.apache.spark.sql.types.{MapType, StringType}
   *    nested keys joined with '.', arrays overwrite at the same path
   *    (flattenForAWK, awk.go:611-636), then non-[A-Za-z0-9_] chars become
   *    '_'; stdin is a single space.
-  *  With either codec, entries of an optional metadata map column become
+  *  - `none`: stdin is a single space and no variables are injected
+  *    (awk.go:806-813) — the custom-function surface still works.
+  *  With `text`/`json`, entries of an optional metadata map column become
   *  variables too (same key sanitisation, awk.go:809-813).
   *
   * Runs `/usr/bin/awk` (POSIX) with a FRESH process per message — the
   * faithful semantics (BEGIN/END/NR are per-message programs in the
   * reference, which re-executes its embedded interpreter per part). This
   * is the expensive mode by construction; for per-line streaming filters
-  * use [[Subprocess.pipe]] (one long-lived child per partition). The
-  * reference's goawk-registered custom functions (json_get/json_set/
-  * metadata_set/timestamp_*, awk.go:463-608) need an embedded interpreter
-  * and stay out of scope — the `json` codec's flattened variables cover
-  * the read side, and `jq`/`bloblang` mappings cover structured writes.
+  * use [[Subprocess.pipe]] (one long-lived child per partition).
+  *
+  * The reference's goawk-registered custom functions (json_get, the
+  * json_set / json_append families, json_delete/json_length/json_type,
+  * metadata_get/metadata_set, the timestamp and create_json families,
+  * print_log; awk.go:497-608) are
+  * emulated over POSIX awk by [[AwkFuncs]]: when the program references
+  * one, a prelude defines them in pure awk with reads seeded through a
+  * generated BEGIN block and writes emitted as sentinel control lines
+  * that are stripped from stdout and replayed onto the message here
+  * (gabs SetP/ArrayAppendP/DeleteP semantics, sorted-key Go-marshal
+  * serialization). metadata_set writes back into `metaCol` when given.
   */
 object Awk {
 
   def proc(df: DataFrame, program: String, codec: String = "text",
       textCol: String = "text", metaCol: Option[String] = None): DataFrame = {
-    require(Set("text", "json").contains(codec), s"unrecognised codec: $codec")
+    require(Set("text", "json", "none").contains(codec), s"unrecognised codec: $codec")
     val base = Errors.withErrorCol(df)
     val schema = base.schema
     val textIdx = schema.fieldIndex(textCol)
@@ -51,6 +60,8 @@ object Awk {
           s"${metaCol.get} must be MAP<STRING,STRING>, got $other")
       }
     }
+    val useFns = AwkFuncs.uses(program)
+    val useJsonFns = AwkFuncs.usesJson(program)
     val enc = Encoders.row(schema)
     base.mapPartitions { rows =>
       val mapper = new ObjectMapper()
@@ -65,12 +76,53 @@ object Awk {
             try flatten("", mapper.readTree(payload), vars)
             catch { case e: Exception => parseErr = s"failed to parse part into json: ${e.getMessage}" }
           }
-          metaIdx.foreach { i =>
-            val m = row.getMap[String, String](i)
-            m.foreach { case (k, v) => vars(sanitize(k)) = v }
+          val metaMap: Map[String, String] = metaIdx
+            .filterNot(row.isNullAt)
+            .map(i => row.getMap[String, String](i).toMap).getOrElse(Map.empty)
+          if (codec != "none") metaMap.foreach { case (k, v) => vars(sanitize(k)) = v }
+
+          // goawk custom-function emulation: parse the payload for the
+          // json_* read seeds; a parse failure is NOT an error until a
+          // json function actually runs (__JSON_OK=0 → __fail at call
+          // time, matching the reference's lazy part.JSON()).
+          var jsonRoot: JsonNode = null
+          val fullProgram = if (!useFns) program else {
+            if (useJsonFns) {
+              try {
+                val n = mapper.readTree(payload)
+                if (n != null && !n.isMissingNode) jsonRoot = n
+              } catch { case _: Exception => () }
+            }
+            AwkFuncs.prelude + "\n" +
+              AwkFuncs.seedBlock(Option(jsonRoot), metaMap, System.currentTimeMillis() / 1000L) +
+              "\n" + program
           }
+
           if (parseErr != null) vals(errIdx) = parseErr
-          else runOne(program, vars, if (codec == "text") payload else " ") match {
+          else runOne(fullProgram, vars, if (codec == "text") payload else " ") match {
+            case Right(out) if useFns =>
+              val (userOut, ops) = AwkFuncs.split(out)
+              ops.find(_.op == "err") match {
+                case Some(e) =>
+                  // a failed custom function aborts the program; the row
+                  // passes through unchanged with the error flag set and
+                  // all buffered mutations discarded (awk.go Process
+                  // returns nil+err → the copy's mutations are dropped)
+                  vals(errIdx) = e.fields.headOption.getOrElse("awk function error")
+                case None =>
+                  ops.foreach { o =>
+                    if (o.op == "log")
+                      System.err.println(s"awk print_log [${o.fields(0)}] ${o.fields(1)}")
+                  }
+                  if (userOut.nonEmpty) vals(textIdx) = stripTrailingNl(userOut)
+                  else if (jsonRoot != null && AwkFuncs.applyJsonOps(jsonRoot, ops, mapper))
+                    vals(textIdx) = AwkFuncs.compactSorted(jsonRoot)
+                  val ms = ops.filter(_.op == "ms")
+                  if (ms.nonEmpty) metaIdx.foreach { i =>
+                    vals(i) = metaMap ++ ms.map(o => o.fields(0) -> o.fields(1))
+                  }
+                  vals(errIdx) = null
+              }
             case Right(out) =>
               if (out.nonEmpty) vals(textIdx) = stripTrailingNl(out)
               vals(errIdx) = null

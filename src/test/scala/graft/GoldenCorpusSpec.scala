@@ -305,6 +305,25 @@ class GoldenCorpusSpec extends SparkTestBase {
     assert(meta == Map("example_key" -> "example metadata value"))
   }
 
+  test("awk.yaml: goawk json/metadata functions end-to-end (awk_benthos_test.yaml)") {
+    // reference: config/test/awk.yaml + awk_benthos_test.yaml — codec text,
+    // program json_set_int("result", json_get("result") + metadata_get("foo")
+    // + metadata_get("bar")) over content {"result":10} with foo=5, bar=7.
+    // The goawk custom functions run through the AwkFuncs POSIX-awk
+    // emulation; output is the Go-marshal-shaped mutated JSON.
+    val df = Seq(("""{"result":10}""", Map("foo" -> "5", "bar" -> "7")))
+      .toDF("text", "meta")
+    val out = graft.ops.Awk.proc(df,
+      """{
+        |  json_set_int("result", json_get("result") + metadata_get("foo") + metadata_get("bar"));
+        |}""".stripMargin,
+      codec = "text", metaCol = Some("meta"))
+    val (content, meta) = out.select(col("text"), col("meta"))
+      .as[(String, Map[String, String])].head()
+    assert(content == """{"result":22}""")
+    assert(meta == Map("foo" -> "5", "bar" -> "7")) // metadata_equals
+  }
+
   test("mock_http_proc.yaml: mock by label replaces the http processor") {
     // reference: config/test/mock_http_proc.yaml test 1 — the `mocks:` map
     // replaces the labeled `get_foobar_api` http processor with a mapping
