@@ -121,6 +121,47 @@ object TrainPrep {
     * All arithmetic is integer (DIV, not floating division), so offsets
     * stay exact past 2^53 tokens per shard.
     */
+  /** Word n-grams of `text` under the engine's proven cross-engine
+    * tokenizer (lowercase, split on non-letter/digit/apostrophe runs,
+    * drop empties — the q_token_count contract): one space-joined gram
+    * per window of `n` consecutive words, empty array when the document
+    * has fewer than `n` words. Pure projection — evaluated at scan speed,
+    * no shuffle.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n > 0)
+    val ws = filter(split(lower(text), "[^\\p{L}\\p{N}']+"), w => length(w) > 0)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination (the training-data hygiene step: drop or
+    * flag any document sharing an `n`-gram with an evaluation/benchmark
+    * set, so test questions never leak into training data).
+    *
+    * 100 TB shape: the corpus side is a pure flatMap (n-gram explode over
+    * the pruned (id, text) projection — no shuffle at any corpus size);
+    * the eval side is small by construction (benchmarks are thousands of
+    * documents), so its DISTINCT gram set is BROADCAST to the corpus-side
+    * inner join. Only the matched (id) pairs — bounded by the
+    * contamination rate, not the corpus — pass through the one small
+    * DISTINCT exchange, and the surviving contaminated-id set broadcasts
+    * back onto the corpus for the flag column. The corpus is never
+    * shuffled and never carries text through an exchange.
+    */
+  def decontaminate(docs: DataFrame, evalSet: DataFrame, id: Column,
+      text: Column, n: Int): DataFrame = {
+    val evalGrams = evalSet.select(explode(wordNgrams(text, n)).as("gram")).distinct()
+    val hit = docs.select(id.as("__did"), explode(wordNgrams(text, n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col("__did")).distinct()
+      .withColumn("contaminated", lit(true))
+    docs.join(broadcast(hit), id === col("__did"), "left")
+      .drop("__did")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
   def packSequences(df: DataFrame, key: Column, tokens: Column, budget: Long,
       nShards: Int, strata: Column): DataFrame = {
     require(budget > 0 && nShards > 0)

@@ -17,6 +17,7 @@ object TrainQueries {
   private val SplitSeed = 13L
   private val Budget = 2048L
   private val Shards = 16
+  private val NGram = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -30,6 +31,17 @@ object TrainQueries {
         .select(col("doc_id"), col("lang"),
           TrainPrep.assignSplit(col("doc_id"),
             Seq("train" -> 80, "val" -> 10, "test" -> 10), seed = SplitSeed).as("split"))
+    }),
+
+    // Benchmark decontamination: flag every document sharing an 8-word
+    // n-gram with the planted "benchmark" subset (doc_id % 97 == 0 —
+    // deterministic, no external data). Corpus side is a shuffle-free
+    // flatMap; the eval gram set and the contaminated-id set broadcast.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      TrainPrep.decontaminate(docs, evalSet, col("doc_id"), col("text"), n = NGram)
+        .select(col("doc_id"), col("contaminated"))
     }),
 
     // Concat-and-chunk packing into 2048-token context windows, sharded
@@ -59,6 +71,21 @@ object TrainQueries {
     "len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'), w -> len(w) > 0))"
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'),
+         |                x -> len(x) > 0) AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(ws) - $NGram + 2),
+         |                          i -> array_to_string(ws[i : i + $NGram - 1], ' '))) AS gram
+         |  FROM w WHERE len(ws) >= $NGram),
+         |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (gram))
+         |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hit h USING (doc_id)""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN $h13 < $trainHi THEN 'train'

@@ -121,6 +121,34 @@ class TrainPrepSpec extends SparkTestBase {
     assert(p == ((0L, 0L)))
   }
 
+  test("decontaminate flags shared n-grams against the eval set, corpus never shuffled") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // contains the eval 8-gram
+      (2L, "a completely different sentence with no overlap at all here"),
+      (3L, "short doc"), // fewer than n words -> no grams -> clean
+      (4L, "prefix words then the quick brown fox jumps over the lazy dog and suffix") // near-dup
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = graft.ops.TrainPrep.decontaminate(docs, evalSet, col("doc_id"), col("text"), n = 8)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    // the eval-gram side broadcasts; the corpus side must not exchange
+    val plan = graft.ops.TrainPrep.decontaminate(docs, evalSet, col("doc_id"), col("text"), n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("wordNgrams matches the token-count word contract") {
+    import org.apache.spark.sql.functions._
+    val got = Seq("One two, THREE four five").toDF("t")
+      .select(graft.ops.TrainPrep.wordNgrams(col("t"), 3)).as[Seq[String]].head()
+    assert(got == Seq("one two three", "two three four", "three four five"))
+    val short = Seq("one two").toDF("t")
+      .select(graft.ops.TrainPrep.wordNgrams(col("t"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
   test("packSequences drops zero-token rows and keeps integer exactness") {
     val docs = Seq((1L, 0L, "en"), (2L, 5L, "en")).toDF("k", "tok", "lang")
     val out = TrainPrep.packSequences(docs, col("k"), col("tok"), 512, 1, col("lang"))
