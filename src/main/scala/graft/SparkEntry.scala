@@ -30,13 +30,15 @@ object SparkEntry {
     base ++ TransformQueries.queries ++ GroupQueries.queries ++
       WindowQueries.queries ++ JoinQueries.queries ++ DedupeQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      CacheQueries.queries ++ IntegrationQueries.queries ++ TrainQueries.queries
+      CacheQueries.queries ++ IntegrationQueries.queries ++ TrainQueries.queries ++
+      CepQueries.queries
 
   def oracleSql: Map[String, String] =
     baseOracles ++ TransformQueries.oracles ++ GroupQueries.oracles ++
       WindowQueries.oracles ++ JoinQueries.oracles ++ DedupeQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles ++
-      CacheQueries.oracles ++ IntegrationQueries.oracles ++ TrainQueries.oracles
+      CacheQueries.oracles ++ IntegrationQueries.oracles ++ TrainQueries.oracles ++
+      CepQueries.oracles
 
   /** §2.7 group_by_value + the TPC-H pricing summary (plain hash aggs). */
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
