@@ -102,6 +102,32 @@ object TrainPrep {
     }
   }
 
+  /** Deterministic global training-order shuffle: assigns every row a
+    * (shuffle_shard, shuffle_pos) so that reading shards in order, each
+    * shard in pos order, visits the corpus in a seeded pseudorandom
+    * permutation. The training loader's requirements drive the shape:
+    * reproducible across reruns AND task retries (rules out `rand()` and
+    * any zipWithIndex-style physical-order scheme — both re-draw on
+    * retry), re-shuffled by changing `seed`, and — because shard
+    * membership is itself hash-pseudorandom — every shard and every
+    * prefix of the read order is an unbiased corpus sample.
+    *
+    * 100 TB shape: ONE hash shuffle into `nShards` independent window
+    * partitions (nShards scales with the cluster, not the data; each
+    * shard sorts a corpus/nShards slice). No global sort, no single-task
+    * window, no driver state. `key` must be unique (it is the final
+    * tie-breaker, keeping the permutation total).
+    */
+  def shuffleDeterministic(df: DataFrame, key: Column, nShards: Int, seed: Long): DataFrame = {
+    require(nShards > 0)
+    val withH = df.withColumn("__h", splitHash(key, seed))
+      .withColumn("shuffle_shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shuffle_shard")).orderBy(col("__h"), key)
+    withH
+      .withColumn("shuffle_pos", (row_number().over(w) - 1).cast("bigint"))
+      .drop("__h")
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style pretraining shape):
     * within each (strata, shard) stream, documents are laid head-to-tail
     * in `key` order and the token stream is sliced into `budget`-sized

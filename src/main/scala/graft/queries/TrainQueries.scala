@@ -18,6 +18,7 @@ object TrainQueries {
   private val Budget = 2048L
   private val Shards = 16
   private val NGram = 8
+  private val ShuffleSeed = 29L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -43,6 +44,14 @@ object TrainQueries {
       TrainPrep.decontaminate(docs, evalSet, col("doc_id"), col("text"), n = NGram)
         .select(col("doc_id"), col("contaminated"))
     }),
+
+    // Deterministic training-order shuffle: seeded pseudorandom
+    // permutation as (shard, pos) — one hash shuffle into 16 independent
+    // sort partitions, retry-stable (no rand()), re-drawn by seed.
+    "q_shuffle" -> ((s, dir) =>
+      TrainPrep.shuffleDeterministic(Tables.documents(s, dir),
+          col("doc_id"), nShards = Shards, seed = ShuffleSeed)
+        .select(col("doc_id"), col("shuffle_shard"), col("shuffle_pos"))),
 
     // Concat-and-chunk packing into 2048-token context windows, sharded
     // (lang × 16) so every window partition packs independently — no
@@ -70,7 +79,15 @@ object TrainQueries {
   private val tokSql =
     "len(list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}'']+'), w -> len(w) > 0))"
 
+  private val hShuffle = TrainPrep.splitHashSql("doc_id", ShuffleSeed)
+
   val oracles: Map[String, String] = Map(
+    "q_shuffle" ->
+      s"""SELECT doc_id, shuffle_shard, shuffle_pos FROM (
+         |  SELECT doc_id,
+         |    CAST(h % $Shards AS INT) AS shuffle_shard,
+         |    CAST(row_number() OVER (PARTITION BY h % $Shards ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+         |  FROM (SELECT doc_id, $hShuffle AS h FROM documents))""".stripMargin,
     "q_decontaminate" ->
       s"""WITH w AS (
          |  SELECT doc_id,

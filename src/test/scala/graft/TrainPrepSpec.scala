@@ -149,6 +149,31 @@ class TrainPrepSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("shuffleDeterministic: total permutation, partitioning-invariant, seed-sensitive") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val out = TrainPrep.shuffleDeterministic(docs, col("doc_id"), nShards = 8, seed = 5L)
+      .select("doc_id", "shuffle_shard", "shuffle_pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (0L until 1000L)) // every row exactly once
+    // positions are contiguous 0..n_s-1 within each shard (a permutation)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size)) }
+    // shards are hash-balanced (each an unbiased ~1/8 sample)
+    val sizes = out.groupBy(_._2).values.map(_.size)
+    assert(sizes.size == 8 && sizes.min > 80 && sizes.max < 170)
+    // physical partitioning cannot change the assignment
+    val re = TrainPrep.shuffleDeterministic(docs.repartition(7), col("doc_id"), 8, 5L)
+      .select("doc_id", "shuffle_shard", "shuffle_pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(re.sorted == out.sorted)
+    // a different seed draws a different permutation
+    val other = TrainPrep.shuffleDeterministic(docs, col("doc_id"), 8, 6L)
+      .select("doc_id", "shuffle_shard", "shuffle_pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(other.sorted != out.sorted)
+  }
+
   test("packSequences drops zero-token rows and keeps integer exactness") {
     val docs = Seq((1L, 0L, "en"), (2L, 5L, "en")).toDF("k", "tok", "lang")
     val out = TrainPrep.packSequences(docs, col("k"), col("tok"), 512, 1, col("lang"))
