@@ -195,4 +195,120 @@ object Dedupe {
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) === 0, 0.0)
       .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+
+  // ------------------------------------------------- duplicate clusters /
+
+  /** Connected components over an undirected edge list, via alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Returns
+    * `(node: long, comp: long)` where `comp` is the smallest node id in
+    * the node's component; isolated nodes (absent from `edges`) do not
+    * appear — callers left-join and coalesce to self.
+    *
+    * Scale shape: the pair-finding stages (MinHash/LSH) emit duplicate
+    * EDGES; resolving them into clusters so one canonical doc survives is
+    * a graph problem whose components do NOT fit a groupBy key at corpus
+    * scale (transitive chains). This algorithm converges in O(log² n)
+    * rounds — O(log n) observed — where each round is two hash shuffles
+    * over a two-long-column edge set; no component is ever materialized
+    * on one task, no driver-side graph. Per-round `localCheckpoint`
+    * truncates the iterative lineage; convergence is detected by an
+    * order-insensitive (count, xxhash64-sum) signature of the edge set.
+    *
+    * Star steps (each preserves components; fixpoint = star graphs rooted
+    * at the component min):
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node attaches its smaller-or-self neighborhood
+    *    to that neighborhood's minimum.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val cols = edges.columns
+    require(cols.length >= 2, s"edge frame needs two columns, got ${cols.mkString(",")}")
+    var e = edges
+      .select(col(cols(0)).cast("long").as("u"), col(cols(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    if (e.isEmpty) return e.select(col("u").as("node"), col("v").as("comp"))
+
+    def largeStar(in: DataFrame): DataFrame = {
+      val d = in.union(in.select(col("v").as("u"), col("u").as("v")))
+      val mins = d.groupBy("u")
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      d.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Operates on (child > parent)-oriented edges — large-star output.
+    def smallStar(in: DataFrame): DataFrame = {
+      val mins = in.groupBy("u").agg(min(col("v")).as("m"))
+      in.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // order-insensitive edge-set signature; xor (not sum) because the
+    // edge set is distinct and full-range hash sums overflow under ANSI
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var converged = false
+    var iter = 0
+    var sigE = sig(e)
+    while (!converged && iter < maxIter) {
+      val l = largeStar(e).localCheckpoint()
+      val s = smallStar(l).localCheckpoint()
+      val (sigL, sigS) = (sig(l), sig(s))
+      converged = sigL == sigE && sigS == sigE
+      e = s
+      sigE = sigS
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIter rounds")
+    // Fixpoint is a star per component: (child, root) edges; add the roots.
+    e.select(col("u").as("node"), col("v").as("comp"))
+      .union(e.select(col("v").as("node"), col("v").as("comp")))
+      .distinct()
+  }
+
+  /** End-to-end duplicate clustering: MinHash/LSH candidate pairs verified
+    * by Jaccard ≥ `threshold` become edges; connected components resolve
+    * transitive duplicate chains; every document gets a `cluster_id` (the
+    * smallest doc_id of its duplicate cluster — isolated docs cluster with
+    * themselves). `keep = (doc_id == cluster_id)` is the deterministic
+    * first-wins survivor set, the standard corpus-dedup contract.
+    */
+  def dupClusters(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      threshold: Double,
+      k: Int = 5,
+      numHashes: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val pairs = minhashDupPairs(df, idCol, text, threshold, k, numHashes, bands)
+      .select(col("doc_a"), col("doc_b"))
+    clustersOverEdges(df.select(idCol.cast("long").as("doc_id")), pairs)
+  }
+
+  /** Cluster assignment for every id in `docs` given duplicate `edges`
+    * (two id columns): (doc_id, cluster_id, keep). */
+  def clustersOverEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges)
+    docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", (col("doc_id") === col("cluster_id")).cast("int"))
+  }
 }

@@ -59,6 +59,28 @@ object DedupeQueries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Duplicate-cluster resolution: near-dup EDGES (here the oracle-able
+    // consecutive-pair Jaccard ≥ 0.55 — τ chosen with no corpus value
+    // within 1e-6 of the boundary at either SF) become connected
+    // components via alternating large-star/small-star contraction; every
+    // doc gets the min doc_id of its duplicate chain as cluster_id and a
+    // first-wins keep flag. The transitive-chain step every corpus-dedup
+    // pipeline needs after pair finding; chains up to ~10 docs exist in
+    // the corpus, so convergence genuinely iterates. Oracle: DuckDB
+    // recursive-CTE reachability closure + min.
+    "q_dup_clusters" -> ((s, dir) => {
+      graft.functions.GraftExtensions.ensure(s)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("lt").as("lt_b"))
+      val edges = docs.join(b, Seq("doc_id"))
+        .filter(round(call_function("graft_ngram_jaccard", col("lt"), col("lt_b"), lit(3)), 6)
+          >= 0.55)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedupe.clustersOverEdges(
+        Tables.documents(s, dir).select(col("doc_id")), edges)
+    }),
+
     // SimHash 64-bit signatures + Hamming distance to the neighbor doc
     // (rows-only: xxhash64-based). Uses the native codegen'd expression —
     // the interpreted 64-bit×token fold is ~3800× slower (BENCH.md §2);
@@ -91,6 +113,29 @@ object DedupeQueries {
         |  round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |         / len(list_distinct(list_concat(a.g, b.g))) END, 6) AS jac
-        |FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1""".stripMargin
+        |FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_dup_clusters" ->
+      """WITH RECURSIVE ng AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(1, greatest(len(lower(text)) - 2, 1) + 1),
+        |      i -> substr(lower(text), CAST(i AS INT), 3)),
+        |    s -> len(s) = 3)) AS g
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS u, a.doc_id + 1 AS v
+        |  FROM ng a JOIN ng b ON b.doc_id = a.doc_id + 1
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.g, b.g))) END, 6) >= 0.55),
+        |und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+        |cc(node, reach) AS (
+        |  SELECT u, u FROM und
+        |  UNION
+        |  SELECT und.v, cc.reach FROM cc JOIN und ON und.u = cc.node),
+        |mn AS (SELECT node, min(reach) AS comp FROM cc GROUP BY node)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(mn.comp, d.doc_id) AS BIGINT) AS cluster_id,
+        |  CAST(d.doc_id = coalesce(mn.comp, d.doc_id) AS INT) AS keep
+        |FROM documents d LEFT JOIN mn ON mn.node = d.doc_id""".stripMargin
   )
 }

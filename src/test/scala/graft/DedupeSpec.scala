@@ -68,4 +68,65 @@ class DedupeSpec extends SparkTestBase {
     val out = Dedupe.streamingDedupe(rows, "ts", "10 seconds", Seq("key"))
     assert(out.count() == 2)
   }
+
+  // ---------------------------------------------- connected components /
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedupe.connectedComponents(edges.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference union-find for cross-checking random graphs. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents: a 400-node path converges in logarithmic rounds") {
+    // a path is the adversarial diameter case — plain min-propagation
+    // would need 400 rounds; the star-contraction default (50) must do.
+    val edges = (0L until 399L).map(i => (i, i + 1))
+    val got = ccMap(edges)
+    assert(got.size == 400 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: disjoint cliques resolve to their minima") {
+    val c1 = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val c2 = for (a <- 20L to 22L; b <- 20L to 22L if a < b) yield (a, b)
+    val got = ccMap(c1 ++ c2)
+    assert((10L to 13L).forall(got(_) == 10L) && (20L to 22L).forall(got(_) == 20L))
+  }
+
+  test("connectedComponents matches union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccMap(edges) == unionFind(edges))
+  }
+
+  test("connectedComponents: empty edge set yields an empty assignment") {
+    assert(ccMap(Seq.empty).isEmpty)
+  }
+
+  test("dupClusters groups exact/near dup chains and flags first-wins keep") {
+    val out = Dedupe.dupClusters(docs, col("doc_id"), col("text"),
+      threshold = 0.5, k = 3, numHashes = 24, bands = 12)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    // 0,1,4 are exact-after-normalization dups; 2 is a near dup of them →
+    // one transitive cluster rooted at 0. 3 and 5 stay singletons.
+    assert(byId(0L) == (0L, 1) && byId(1L) == (0L, 0) && byId(4L) == (0L, 0))
+    assert(byId(2L)._1 == 0L && byId(2L)._2 == 0)
+    assert(byId(3L) == (3L, 1) && byId(5L) == (5L, 1))
+    // exactly one keeper per cluster, and it is the min id
+    val keepers = out.filter(_._3 == 1).map(_._1).toSet
+    assert(keepers == out.map(_._2).toSet)
+  }
 }
