@@ -1,10 +1,16 @@
 # goawk custom-function emulation prelude (POSIX awk / mawk).
 # Reads come from BEGIN-seeded arrays (__J/__T/__L json paths, __M metadata);
-# writes are emitted as sentinel control lines on stdout that the host
-# intercepts: \035G\036 op \037 field \037 field, with \ and newline escaped.
+# writes are emitted as sentinel control lines on STDERR (stdout stays the
+# user's — a control line after an unterminated printf would otherwise glue
+# onto it, and payload echoes could forge ops): \035G\036 op \037 field
+# \037 field, with \, newline and the \037 field separator escaped.
 
-function __esc(s) { gsub(/\\/, "\\\\\\\\", s); gsub(/\n/, "\\\\n", s); return s }
-function __ctl(s) { printf "%s%s\n", "\035G\036", s }
+function __esc(s) {
+  gsub(/\\/, "\\\\\\\\", s); gsub(/\n/, "\\\\n", s)
+  gsub(__US, "\\\\U", s)
+  return s
+}
+function __ctl(s) { printf "%s%s\n", "\035G\036", s > "/dev/stderr" }
 function __fail(m) { __ctl("err\037" __esc(m)); exit 0 }
 
 function __jesc(s) {
@@ -255,14 +261,19 @@ function timestamp_unix(s, fmt,   u) {
   }
   return __ts_try(s)
 }
-function timestamp_unix_nano(s, fmt,   u) {
+function timestamp_unix_nano(s, fmt,   u, rem) {
   s = "" s; fmt = "" fmt
   if (s == "") return __NOW "000000000"
   if (fmt != "") {
     u = __ts_parse(s, fmt)
     if (__TS_ERR) __fail("failed to parse timestamp '" s "' with format '" fmt "'")
   } else u = __ts_try(s)
-  return sprintf("%d", u) __TS_FRAC
+  if (u >= 0 || __TS_FRAC == "000000000") return sprintf("%d", u) __TS_FRAC
+  # pre-1970 with a fraction: total = u + frac/1e9 with u < 0 < frac, so
+  # borrow one second (naive digit concat would yield -1.5s for -0.5s)
+  rem = 1000000000 - (__TS_FRAC + 0)
+  if (u == -1) return "-" rem
+  return "-" sprintf("%d", -u - 1) sprintf("%09d", rem)
 }
 
 # Format unix seconds (+ 9-digit nano string) as a Go layout, in UTC.
@@ -320,6 +331,7 @@ function timestamp_format_nano(unixNano, formatArg,   fmt, s, sec, ns) {
 }
 
 BEGIN {
+  __US = sprintf("%c", 31) # \037 as a dynamic regex (octal in /.../ is not portable)
   __MON3["Jan"]=1; __MON3["Feb"]=2; __MON3["Mar"]=3; __MON3["Apr"]=4
   __MON3["May"]=5; __MON3["Jun"]=6; __MON3["Jul"]=7; __MON3["Aug"]=8
   __MON3["Sep"]=9; __MON3["Oct"]=10; __MON3["Nov"]=11; __MON3["Dec"]=12

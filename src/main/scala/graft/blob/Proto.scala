@@ -444,7 +444,15 @@ object Proto {
     // field's bytes as data — truncated/corrupt input must ERROR (the
     // reference's unmarshal contract), never silently produce values
     private def need(n: Int): Unit =
-      if (pos + n > end) err(s"truncated message: need $n bytes at offset $pos, have ${end - pos}")
+      if (n < 0 || n > end - pos) err(s"truncated message: need $n bytes at offset $pos, have ${end - pos}")
+    // length prefixes are validated in LONG space BEFORE the Int narrowing:
+    // a corrupt 2^32+k length would .toInt-wrap to small positive k, pass a
+    // post-narrowing bounds check, and silently mis-align the decode
+    def lenPrefix(what: => String): Int = {
+      val v = varint()
+      if (v < 0L || v > (end - pos).toLong) err(s"truncated message: $what overruns the buffer")
+      v.toInt
+    }
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (true) {
@@ -488,8 +496,8 @@ object Proto {
       case TFixed32 => fac.numberNode(r.le(4))
       case TSFixed32 => fac.numberNode(r.le(4).toInt)
       case TFloat => fac.numberNode(java.lang.Float.intBitsToFloat(r.le(4).toInt).toDouble)
-      case TString => fac.textNode(new String(r.bytes(r.varint().toInt), UTF_8))
-      case TBytes => fac.textNode(java.util.Base64.getEncoder.encodeToString(r.bytes(r.varint().toInt)))
+      case TString => fac.textNode(new String(r.bytes(r.lenPrefix("string field")), UTF_8))
+      case TBytes => fac.textNode(java.util.Base64.getEncoder.encodeToString(r.bytes(r.lenPrefix("bytes field"))))
       case TMessage(_) =>
         throw new IllegalStateException("messages handled in decodeRange")
     }
@@ -519,23 +527,19 @@ object Proto {
             case 0 => r.varint()
             case 1 => r.le(8)
             case 2 =>
-              val n = r.varint().toInt
-              if (n < 0 || r.pos + n > r.end) err(s"truncated message: unknown field $num overruns the buffer")
-              r.pos += n
+              r.pos += r.lenPrefix(s"unknown field $num")
             case 5 => r.le(4)
             case other => err(s"unsupported wire type $other for unknown field $num")
           }
         case Some(f) =>
           f.tpe match {
             case TMessage(innerFq) if wt == 2 =>
-              val len = r.varint().toInt
-              if (len < 0 || r.pos + len > r.end) err(s"truncated message: field $num overruns the buffer")
+              val len = r.lenPrefix(s"field $num")
               put(num, decodeRange(fs, innerFq, b, r.pos, r.pos + len))
               r.pos += len
             case t if wt == 2 && wtype(t) != 2 && f.repeated =>
               // packed numeric
-              val len = r.varint().toInt
-              if (len < 0 || r.pos + len > r.end) err(s"truncated message: packed field $num overruns the buffer")
+              val len = r.lenPrefix(s"packed field $num")
               val sub = new WireReader(b, r.pos, r.pos + len)
               while (sub.hasNext) put(num, decodeScalar(fs, t, sub, fac))
               r.pos += len

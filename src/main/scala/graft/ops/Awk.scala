@@ -39,7 +39,8 @@ import org.apache.spark.sql.types.{MapType, StringType}
   * emulated over POSIX awk by [[AwkFuncs]]: when the program references
   * one, a prelude defines them in pure awk with reads seeded through a
   * generated BEGIN block and writes emitted as sentinel control lines
-  * that are stripped from stdout and replayed onto the message here
+  * on stderr that are split from real error text and replayed onto the
+  * message here
   * (gabs SetP/ArrayAppendP/DeleteP semantics, sorted-key Go-marshal
   * serialization). metadata_set writes back into `metaCol` when given.
   */
@@ -72,61 +73,71 @@ object Awk {
           val vals = row.toSeq.toArray
           val vars = LinkedHashMap[String, String]()
           var parseErr: String = null
-          if (codec == "json") {
-            try flatten("", mapper.readTree(payload), vars)
-            catch { case e: Exception => parseErr = s"failed to parse part into json: ${e.getMessage}" }
+          // ONE parse of the payload, shared by the json-codec variable
+          // flattening and the goawk json_* read seeds. A parse failure is
+          // an immediate error only under codec=json; for the custom
+          // functions it is NOT an error until a json function actually
+          // runs (__JSON_OK=0 → __fail at call time, matching the
+          // reference's lazy part.JSON()).
+          var jsonRoot: JsonNode = null
+          if (codec == "json" || (useFns && useJsonFns)) {
+            try {
+              val n = mapper.readTree(payload)
+              if (n != null && !n.isMissingNode) jsonRoot = n
+              if (codec == "json") {
+                if (jsonRoot == null)
+                  parseErr = "failed to parse part into json: empty document"
+                else flatten("", jsonRoot, vars)
+              }
+            } catch {
+              case e: Exception =>
+                jsonRoot = null
+                if (codec == "json")
+                  parseErr = s"failed to parse part into json: ${e.getMessage}"
+            }
           }
           val metaMap: Map[String, String] = metaIdx
             .filterNot(row.isNullAt)
             .map(i => row.getMap[String, String](i).toMap).getOrElse(Map.empty)
           if (codec != "none") metaMap.foreach { case (k, v) => vars(sanitize(k)) = v }
 
-          // goawk custom-function emulation: parse the payload for the
-          // json_* read seeds; a parse failure is NOT an error until a
-          // json function actually runs (__JSON_OK=0 → __fail at call
-          // time, matching the reference's lazy part.JSON()).
-          var jsonRoot: JsonNode = null
           val fullProgram = if (!useFns) program else {
-            if (useJsonFns) {
-              try {
-                val n = mapper.readTree(payload)
-                if (n != null && !n.isMissingNode) jsonRoot = n
-              } catch { case _: Exception => () }
-            }
             AwkFuncs.prelude + "\n" +
               AwkFuncs.seedBlock(Option(jsonRoot), metaMap, System.currentTimeMillis() / 1000L) +
               "\n" + program
           }
 
           if (parseErr != null) vals(errIdx) = parseErr
-          else runOne(fullProgram, vars, if (codec == "text") payload else " ") match {
-            case Right(out) if useFns =>
-              val (userOut, ops) = AwkFuncs.split(out)
-              ops.find(_.op == "err") match {
-                case Some(e) =>
-                  // a failed custom function aborts the program; the row
-                  // passes through unchanged with the error flag set and
-                  // all buffered mutations discarded (awk.go Process
-                  // returns nil+err → the copy's mutations are dropped)
-                  vals(errIdx) = e.fields.headOption.getOrElse("awk function error")
-                case None =>
-                  ops.foreach { o =>
-                    if (o.op == "log")
-                      System.err.println(s"awk print_log [${o.fields(0)}] ${o.fields(1)}")
-                  }
-                  if (userOut.nonEmpty) vals(textIdx) = stripTrailingNl(userOut)
-                  else if (jsonRoot != null && AwkFuncs.applyJsonOps(jsonRoot, ops, mapper))
-                    vals(textIdx) = AwkFuncs.compactSorted(jsonRoot)
-                  val ms = ops.filter(_.op == "ms")
-                  if (ms.nonEmpty) metaIdx.foreach { i =>
-                    vals(i) = metaMap ++ ms.map(o => o.fields(0) -> o.fields(1))
-                  }
-                  vals(errIdx) = null
-              }
-            case Right(out) =>
-              if (out.nonEmpty) vals(textIdx) = stripTrailingNl(out)
-              vals(errIdx) = null
-            case Left(err) => vals(errIdx) = err
+          else {
+            val (exit, out, errRaw) = runOne(fullProgram, vars, if (codec == "text") payload else " ")
+            // control ops ride stderr (see goawk_prelude.awk); anything
+            // else on stderr is a real interpreter/program error
+            val (plainErr, ops) =
+              if (useFns) AwkFuncs.split(errRaw) else (errRaw, Nil)
+            if (plainErr.trim.nonEmpty) vals(errIdx) = plainErr.trim
+            else if (exit != 0)
+              vals(errIdx) = s"awk interpreter returned non-zero exit code: $exit"
+            else ops.find(_.op == "err") match {
+              case Some(e) =>
+                // a failed custom function aborts the program; the row
+                // passes through unchanged with the error flag set and
+                // all buffered mutations discarded (awk.go Process
+                // returns nil+err → the copy's mutations are dropped)
+                vals(errIdx) = e.fields.headOption.getOrElse("awk function error")
+              case None =>
+                ops.foreach { o =>
+                  if (o.op == "log")
+                    System.err.println(s"awk print_log [${o.fields(0)}] ${o.fields(1)}")
+                }
+                if (out.nonEmpty) vals(textIdx) = stripTrailingNl(out)
+                else if (jsonRoot != null && AwkFuncs.applyJsonOps(jsonRoot, ops, mapper))
+                  vals(textIdx) = AwkFuncs.compactSorted(jsonRoot)
+                val ms = ops.filter(_.op == "ms")
+                if (ms.nonEmpty) metaIdx.foreach { i =>
+                  vals(i) = metaMap ++ ms.map(o => o.fields(0) -> o.fields(1))
+                }
+                vals(errIdx) = null
+            }
           }
           Row.fromSeq(vals.toIndexedSeq)
         }
@@ -156,32 +167,39 @@ object Awk {
     if (s.endsWith("\n")) s.dropRight(1) else s
 
   /** One message = one awk run. Variables pass via -v (backslashes doubled
-    * because -v assignment interprets escape sequences).
+    * because -v assignment interprets escape sequences; -v also gives
+    * numeric-looking values POSIX strnum comparison semantics, which a
+    * BEGIN-block string assignment would lose). The program itself passes
+    * via `-f tmpfile`, NOT argv — the prelude + seed block scale with the
+    * payload and a single argv element is capped at 128 KiB on Linux
+    * (MAX_ARG_STRLEN), which a ~40 KiB JSON message would blow through.
+    * Returns (exit, stdout, stderr).
     */
   private def runOne(program: String, vars: LinkedHashMap[String, String],
-      stdin: String): Either[String, String] = {
-    val cmd = Seq.newBuilder[String]
-    cmd += "awk"
-    vars.foreach { case (k, v) => cmd += "-v"; cmd += s"$k=${v.replace("\\", "\\\\")}" }
-    cmd += program
-    val p = new ProcessBuilder(cmd.result(): _*).start()
-    val errBuf = new java.io.ByteArrayOutputStream()
-    val drain = new Thread(() => {
-      try p.getErrorStream.transferTo(errBuf) catch { case _: Throwable => () }
-    })
-    drain.setDaemon(true); drain.start()
-    // A program that never touches its input (mawk exits immediately on
-    // `{ }`) can close stdin before we write — that's fine, not an error.
+      stdin: String): (Int, String, String) = {
+    val progFile = java.io.File.createTempFile("graft_awk", ".awk")
     try {
-      p.getOutputStream.write(stdin.getBytes(UTF_8))
-      p.getOutputStream.close()
-    } catch { case _: java.io.IOException => () }
-    val out = new String(p.getInputStream.readAllBytes(), UTF_8)
-    val exit = p.waitFor()
-    drain.join(1000)
-    val err = new String(errBuf.toByteArray, UTF_8)
-    if (err.nonEmpty) Left(err.trim)
-    else if (exit != 0) Left(s"awk interpreter returned non-zero exit code: $exit")
-    else Right(out)
+      java.nio.file.Files.write(progFile.toPath, program.getBytes(UTF_8))
+      val cmd = Seq.newBuilder[String]
+      cmd += "awk"
+      vars.foreach { case (k, v) => cmd += "-v"; cmd += s"$k=${v.replace("\\", "\\\\")}" }
+      cmd += "-f"; cmd += progFile.getAbsolutePath
+      val p = new ProcessBuilder(cmd.result(): _*).start()
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => {
+        try p.getErrorStream.transferTo(errBuf) catch { case _: Throwable => () }
+      })
+      drain.setDaemon(true); drain.start()
+      // A program that never touches its input (mawk exits immediately on
+      // `{ }`) can close stdin before we write — that's fine, not an error.
+      try {
+        p.getOutputStream.write(stdin.getBytes(UTF_8))
+        p.getOutputStream.close()
+      } catch { case _: java.io.IOException => () }
+      val out = new String(p.getInputStream.readAllBytes(), UTF_8)
+      val exit = p.waitFor()
+      drain.join(1000)
+      (exit, out, new String(errBuf.toByteArray, UTF_8))
+    } finally progFile.delete()
   }
 }

@@ -26,9 +26,12 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, BooleanNode, DoubleNode, 
   *    arrays) and `__M[key]` metadata. Array elements get numeric path
   *    segments (`obj.1.foo`), matching gabs path addressing.
   *  - WRITES are emitted by the prelude (goawk_prelude.awk on the
-  *    classpath) as sentinel control lines on stdout —
-  *    `\035G\036 op \037 field \037 field`, backslash/newline escaped —
-  *    which [[Awk]] strips from the user's output and this object replays
+  *    classpath) as sentinel control lines on STDERR —
+  *    `\035G\036 op \037 field \037 field`, with backslash, newline and
+  *    the \037 field separator escaped — keeping stdout purely the user's
+  *    (a control line glued onto an unterminated printf, or a payload
+  *    echo forging an op, cannot happen); [[Awk]] splits stderr into ops
+  *    vs real error text and this object replays the ops
   *    onto the parsed message with gabs semantics (SetP creates
   *    intermediate objects, ArrayAppendP wraps an existing non-array value
   *    as the first element, DeleteP ignores missing paths). A custom
@@ -143,8 +146,8 @@ object AwkFuncs {
 
   final case class Op(op: String, fields: Array[String])
 
-  /** Split raw awk stdout into the user's own output (reassembled with the
-    * original newlines) and the ordered control ops.
+  /** Split the raw awk STDERR into plain error text (reassembled with
+    * the original newlines) and the ordered sentinel control ops.
     */
   def split(out: String): (String, List[Op]) = {
     val tokens = out.split("\n", -1)
@@ -168,6 +171,7 @@ object AwkFuncs {
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
           case 'n' => b.append('\n'); i += 2
+          case 'U' => b.append('\u001f'); i += 2
           case '\\' => b.append('\\'); i += 2
           case _ => b.append(c); i += 1
         }

@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private def words(text: Column): Column =
+  /** The engine's cross-engine token contract (lowercase, split on
+    * non-letter/digit/apostrophe runs, drop empties) — shared by
+    * q_token_count and TrainPrep's n-gram surface, whose DuckDB oracles
+    * replay exactly this expression; keep the two sides in lockstep.
+    */
+  def words(text: Column): Column =
     filter(split(lower(text), "[^\\p{L}\\p{N}']+"), w => length(w) > 0)
 
   /** Whitespace token count. */

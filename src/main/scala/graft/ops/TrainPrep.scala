@@ -128,25 +128,6 @@ object TrainPrep {
       .drop("__h")
   }
 
-  /** Concat-and-chunk sequence packing (the GPT-style pretraining shape):
-    * within each (strata, shard) stream, documents are laid head-to-tail
-    * in `key` order and the token stream is sliced into `budget`-sized
-    * context windows; a document occupies token offsets
-    * [start_off, start_off + tokens) and may straddle a window boundary —
-    * `pack_first`/`pack_last` are the windows it lands in (equal when it
-    * fits inside one). Rows with tokens <= 0 are dropped (they occupy no
-    * tokens).
-    *
-    * `key` MUST be unique (a document id): it is both the layout order
-    * and the only tie-breaker. With duplicate keys the layout order of
-    * the peers is undefined, so no windowed formulation can assign them
-    * disjoint spans deterministically — the ROWS frame below keeps each
-    * row's span disjoint even then, but which peer comes first is
-    * engine-dependent.
-    *
-    * All arithmetic is integer (DIV, not floating division), so offsets
-    * stay exact past 2^53 tokens per shard.
-    */
   /** Word n-grams of `text` under the engine's proven cross-engine
     * tokenizer (lowercase, split on non-letter/digit/apostrophe runs,
     * drop empties — the q_token_count contract): one space-joined gram
@@ -156,7 +137,7 @@ object TrainPrep {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n > 0)
-    val ws = filter(split(lower(text), "[^\\p{L}\\p{N}']+"), w => length(w) > 0)
+    val ws = TextOps.words(text)
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n), i => array_join(slice(ws, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
@@ -188,6 +169,25 @@ object TrainPrep {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
+  /** Concat-and-chunk sequence packing (the GPT-style pretraining shape):
+    * within each (strata, shard) stream, documents are laid head-to-tail
+    * in `key` order and the token stream is sliced into `budget`-sized
+    * context windows; a document occupies token offsets
+    * [start_off, start_off + tokens) and may straddle a window boundary —
+    * `pack_first`/`pack_last` are the windows it lands in (equal when it
+    * fits inside one). Rows with tokens <= 0 are dropped (they occupy no
+    * tokens).
+    *
+    * `key` MUST be unique (a document id): it is both the layout order
+    * and the only tie-breaker. With duplicate keys the layout order of
+    * the peers is undefined, so no windowed formulation can assign them
+    * disjoint spans deterministically — the ROWS frame below keeps each
+    * row's span disjoint even then, but which peer comes first is
+    * engine-dependent.
+    *
+    * All arithmetic is integer (DIV, not floating division), so offsets
+    * stay exact past 2^53 tokens per shard.
+    */
   def packSequences(df: DataFrame, key: Column, tokens: Column, budget: Long,
       nShards: Int, strata: Column): DataFrame = {
     require(budget > 0 && nShards > 0)

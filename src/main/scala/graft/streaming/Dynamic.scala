@@ -78,10 +78,14 @@ object Dynamic {
       remove(name) // upsert: the reference stops an existing input first
       val dir = s"$spoolDir/input=$name"
       Files.createDirectories(Paths.get(dir))
+      // one column, any type: stringify for the text spool (the text
+      // datasource itself only accepts strings)
+      require(df.schema.fields.length == 1, "dynamic input frames carry one column")
+      val lines = df.select(col(df.columns(0)).cast("string"))
       val q =
-        if (df.isStreaming) {
+        if (lines.isStreaming) {
           val ck = s"$spoolDir/.ckpt-$name-${UUID.randomUUID()}"
-          Some((df.writeStream
+          Some((lines.writeStream
             .format("text")
             .option("path", dir)
             .option("checkpointLocation", ck)
@@ -92,9 +96,8 @@ object Dynamic {
           // files/dirs are invisible to the file stream), then move the
           // part files in atomically so the consumer never sees partials —
           // no driver-side collect of the member's data
-          require(df.schema.fields.length == 1, "dynamic input frames carry one string column")
           val tmp = s"$spoolDir/.stage-$name-${UUID.randomUUID()}"
-          df.write.format("text").save(tmp)
+          lines.write.format("text").save(tmp)
           val listing = Files.list(Paths.get(tmp))
           try listing.forEach { p =>
             val fn = p.getFileName.toString

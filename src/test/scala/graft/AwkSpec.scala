@@ -208,4 +208,49 @@ class AwkSpec extends SparkTestBase {
       """{ json_set("obj.foo", "x"); print "explicit output" }""", "none")
       == (("explicit output", null)))
   }
+
+  test("control op after an unterminated printf neither corrupts output nor loses the op") {
+    // ops ride stderr: a trailing printf without \n must keep its exact
+    // bytes, and the metadata_set emitted after it must still land
+    val (t, e, m) = run("ignored",
+      """{ printf "%s", "x"; metadata_set("k", "v") }""", "none",
+      Map("seed" -> "1"))
+    assert(e == null && t == "x" && m("k") == "v")
+  }
+
+  test("metadata values containing the \\u001f field separator survive the op protocol") {
+    val v = "a\u001fb\u001fc"
+    val (_, e, m) = run("ignored",
+      s"""{ metadata_set("k", "a" sprintf("%c",31) "b" sprintf("%c",31) "c") }""",
+      "none", Map("seed" -> "1"))
+    assert(e == null && m("k") == v)
+  }
+
+  test("a payload too large for one argv element still seeds json functions (-f path)") {
+    // prelude + BEGIN seed for this ~300 KiB payload blows Linux's 128 KiB
+    // MAX_ARG_STRLEN if the program passes as a single argv element (many
+    // moderate values, not one huge literal — mawk also caps a single
+    // source string literal)
+    val payload = (0 until 300).map(i => s""""k$i":"${"x" * 1000}"""")
+      .mkString("{", ",", ""","n":7}""")
+    val (t, e) = one(payload,
+      """{ print json_length("k5") "-" json_get("n") }""", "none")
+    assert(e == null && t == "1000-7")
+  }
+
+  test("timestamp_unix_nano borrows correctly for pre-1970 fractional timestamps") {
+    assert(one("ignored",
+      """{ print timestamp_unix_nano("1969-12-31T23:59:59.500", "2006-01-02T15:04:05.000") }""",
+      "none") == (("-500000000", null)))
+    assert(one("ignored",
+      """{ print timestamp_unix_nano("1969-12-31T23:59:58.250", "2006-01-02T15:04:05.000") }""",
+      "none") == (("-1750000000", null)))
+    // fraction-less negative and positive-fraction paths unchanged
+    assert(one("ignored",
+      """{ print timestamp_unix_nano("1969-12-31T23:59:59", "2006-01-02T15:04:05") }""",
+      "none") == (("-1000000000", null)))
+    assert(one("ignored",
+      """{ print timestamp_unix_nano("1970-01-01T00:00:01.500", "2006-01-02T15:04:05.000") }""",
+      "none") == (("1500000000", null)))
+  }
 }

@@ -36,6 +36,10 @@ class DynamicSpec extends AnyFunSuite with SparkTestBase {
     assert(fan.batch().filter(col("input") === "baz").count() === 1)
     assert(added.toList === List("foo", "bar", "baz"))
     assert(removed.toList === List("bar"))
+    // non-string single-column members stringify into the text spool
+    fan.add("nums", Seq(41, 42).toDF("n"))
+    assert(fan.batch().filter(col("input") === "nums")
+      .select("content").as[String].collect().sorted === Array("41", "42"))
     fan.close()
   }
 

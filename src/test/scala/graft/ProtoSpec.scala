@@ -279,4 +279,24 @@ class ProtoSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("unterminated"), e.getMessage)
   }
+
+  test("a 2^32+k corrupt length prefix errors instead of Int-wrapping to k") {
+    val schema =
+      """syntax = "proto3";
+        |package t;
+        |message M { string s = 1; int32 a = 2; }
+        |""".stripMargin
+    val fs2 = Proto.compile(Seq(schema))
+    // field 1, wire type 2, length varint = 2^32 + 3 (wraps to 3 as Int),
+    // then 3 payload bytes — a truncating decoder would "succeed" and
+    // misread the stream; the contract is an error
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x0a) // tag: field 1, wt 2
+    var v = (1L << 32) + 3
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    out.write("abc".getBytes("UTF-8"))
+    val e = intercept[Exception](Proto.decodeMessage(fs2, "t.M", out.toByteArray))
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+  }
 }

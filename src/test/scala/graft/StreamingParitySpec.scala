@@ -84,9 +84,16 @@ class StreamingParitySpec extends SparkTestBase {
     val q = t.build(spark).writeStream.format("memory")
       .queryName("rate_smoke").trigger(Trigger.ProcessingTime("1 second")).start()
     try {
-      q.processAllAvailable()
-      // at least the schema flowed; rows may or may not have ticked yet
-      assert(spark.table("rate_smoke").columns.toSet == Set("timestamp", "value", "even"))
+      // NOT processAllAvailable(): a rate source always has more data
+      // pending, so that wait is unbounded under load (it hung a full CI
+      // run for 30+ min). The assertion only needs the sink table's
+      // schema, which exists once the query starts — poll bounded.
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def cols: Set[String] =
+        try spark.table("rate_smoke").columns.toSet catch { case _: Exception => Set.empty }
+      while (cols != Set("timestamp", "value", "even") && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(cols == Set("timestamp", "value", "even"))
     } finally q.stop()
   }
 }
