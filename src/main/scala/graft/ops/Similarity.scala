@@ -230,30 +230,117 @@ object Similarity {
       .select(col("emb")).collect()
       .map(_.getSeq[Float](0)).zipWithIndex
       .map { case (e, i) => (i + 1, e) }.toSeq
-    def cellOf(v: Column): Column = {
-      // argmax cosine over the broadcast centroid set. NOTE: a
-      // `reduceLeft(when(b > a, b).otherwise(a))` here duplicates `a` per
-      // step — an O(2^nCells) expression tree (measured: 170 MB task
-      // binaries + codegen blowup at 16 cells). array_max over
-      // (sim, cell) structs is linear and compares lexicographically.
-      val scored = cembs.map { case (cell, ce) =>
-        struct(call_function("graft_cosine", v,
-          array(ce.map(x => lit(x)): _*)).as("sim"), lit(cell).as("cell"))
-      }
-      array_max(array(scored: _*)).getField("cell")
+    ivfProbe(named, cembs, query, nProbe)
+  }
+
+  /** Nearest-centroid cell id over a broadcast centroid set. NOTE: a
+    * `reduceLeft(when(b > a, b).otherwise(a))` here duplicates `a` per
+    * step — an O(2^nCells) expression tree (measured: 170 MB task
+    * binaries + codegen blowup at 16 cells). array_max over
+    * (sim, cell) structs is linear and compares lexicographically.
+    */
+  private def cellOf(v: Column, cembs: Seq[(Int, Seq[Float])]): Column = {
+    val scored = cembs.map { case (cell, ce) =>
+      struct(call_function("graft_cosine", v,
+        array(ce.map(x => lit(x)): _*)).as("sim"), lit(cell).as("cell"))
     }
-    val assigned = named.withColumn("cell", cellOf(col("emb")))
+    array_max(array(scored: _*)).getField("cell")
+  }
+
+  private[graft] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val n1 = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val n2 = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (n1 * n2 == 0) 0.0 else d / (n1 * n2)
+  }
+
+  /** The shared IVF probe: assign every row to its nearest centroid, scan
+    * exactly the `nProbe` cells whose centroids are nearest the query.
+    */
+  private def ivfProbe(named: DataFrame, cembs: Seq[(Int, Seq[Float])],
+      query: Seq[Float], nProbe: Int): DataFrame = {
+    val assigned = named.withColumn("cell", cellOf(col("emb"), cembs))
     val qArr = array(query.map(v => lit(v)): _*)
     val probeCells = cembs
-      .map { case (cell, ce) =>
-        val d = ce.zip(query).map { case (x, y) => x.toDouble * y }.sum
-        val n1 = math.sqrt(ce.map(x => x.toDouble * x).sum)
-        val n2 = math.sqrt(query.map(x => x.toDouble * x).sum)
-        (cell, if (n1 * n2 == 0) 0.0 else d / (n1 * n2))
-      }
+      .map { case (cell, ce) => (cell, cosineLocal(ce, query)) }
       .sortBy(-_._2).take(nProbe).map(_._1)
     assigned.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .withColumn("sim", call_function("graft_cosine", col("emb"), qArr))
+  }
+
+  /** Distributed spherical k-means (Lloyd's) over the embedding column —
+    * the principled trainer for the IVF coarse quantizer (`ivfScores`'
+    * seeded-sample centroids are the zero-cost fallback; Lloyd iterations
+    * tighten the cells around the corpus's actual density, which is what
+    * makes nProbe/recall tunable on skewed real embeddings).
+    *
+    * 100 TB shape, per iteration: the k centroids BROADCAST into a
+    * codegen'd nearest-centroid assignment (k native cosine evaluations
+    * per row — no interpreted HOF, no join), then ONE partial-aggregated
+    * exchange of k×(dim+1) running sums: `groupBy(cell)` with one `sum`
+    * per dimension means map-side combine collapses every partition to
+    * ≤ k rows before the shuffle — the corpus itself never repartitions
+    * and no embedding crosses the wire. Driver state is k×dim doubles
+    * (the model artifact). Spherical variant: means are re-normalized to
+    * unit length each round, so assignment-by-max-cosine equals
+    * assignment-by-max-dot and Lloyd's convergence guarantee applies on
+    * the unit sphere. Cells that lose all members keep their previous
+    * centroid (the standard empty-cell rule). Deterministic for a given
+    * (df, k, iters, seed) up to floating sum order inside each engine —
+    * NOT cross-engine reproducible (no DuckDB oracle; semantics are
+    * pinned in SimilaritySpec).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: Column, emb: Column, k: Int,
+      iters: Int): Seq[(Int, Seq[Float])] = {
+    require(k > 0 && iters >= 0)
+    val spark = df.sparkSession
+    graft.functions.GraftExtensions.ensure(spark)
+    val named = df.select(idCol.as("id"), emb.as("emb"))
+    def unit(v: Seq[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (if (n == 0) v else v.map(_ / n)).map(_.toFloat)
+    }
+    var cembs: Seq[(Int, Seq[Float])] = centroidCandidates(named, k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Float](0)).zipWithIndex
+      .map { case (e, i) => (i + 1, unit(e.map(_.toDouble))) }.toSeq
+    if (cembs.isEmpty) return cembs
+    val dim = cembs.head._2.length
+    var it = 0
+    while (it < iters) {
+      val sums = named.withColumn("cell", cellOf(col("emb"), cembs))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(d =>
+            sum(col("emb").getItem(d).cast("double")).as(s"s$d")): _*)
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), (0 until dim).map(d => r.getDouble(d + 2)))))
+        .toMap
+      cembs = cembs.map { case (cell, old) =>
+        sums.get(cell) match {
+          case Some((n, s)) if n > 0 => (cell, unit(s.map(_ / n)))
+          case _ => (cell, old) // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    cembs
+  }
+
+  /** IVF probe over k-means-trained cells: train (or pass `centroids`
+    * from a previous `kmeansCentroids` run — the model is reusable), then
+    * scan the `nProbe` nearest cells exactly, like `ivfScores`.
+    */
+  def ivfTopKKmeans(df: DataFrame, idCol: Column, emb: Column,
+      query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
+      iters: Int = 3,
+      centroids: Option[Seq[(Int, Seq[Float])]] = None): DataFrame = {
+    val named = df.select(idCol.as("id"), emb.as("emb"))
+    val cembs = centroids.getOrElse(kmeansCentroids(df, idCol, emb, nCells, iters))
+    ivfProbe(named, cembs, query, nProbe)
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("sim"))
   }
 
   /** Scalar int8 quantization (per-vector symmetric max-abs scale): the

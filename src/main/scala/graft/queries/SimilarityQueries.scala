@@ -96,6 +96,20 @@ object SimilarityQueries {
       Similarity.topKWithTies(scored, "sim", K)
     }),
 
+    // IVF over k-means-TRAINED cells (spherical Lloyd's, 3 rounds from
+    // the seeded sample): rows-only by nature — the trained centroids
+    // depend on engine-internal float summation order, so no cross-engine
+    // oracle can exist; convergence, unit-norm, full-probe==brute-force
+    // and model-reuse semantics are pinned in SimilaritySpec.
+    "q_ivf_kmeans_topk" -> ((s, dir) => {
+      val q = queryVec(s, dir)
+      Similarity.ivfTopKKmeans(
+        Tables.embeddings(s, dir).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), q, k = K, nCells = 16, nProbe = 4,
+        iters = 3)
+        .select(col("id").as("vec_id"), round(col("sim"), 4).as("sim"))
+    }),
+
     // int8 quantization of the embedding column — the transform is
     // deterministic in IEEE double, so it gets a full DuckDB oracle
     // (per-vector scale + sum/min/max of the quantized values).

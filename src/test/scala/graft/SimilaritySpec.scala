@@ -133,6 +133,59 @@ class SimilaritySpec extends SparkTestBase {
     assert(all.toSet == brute.toSet)
   }
 
+  test("kmeans centroids converge onto well-separated clusters; full probe == brute force") {
+    // three orthogonal-ish clusters: base direction + small deterministic jitter
+    val bases = Seq(
+      Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    // jitter is distinct per i (i² mod 97 is injective for i ≤ 40), so no
+    // two vectors tie in cosine and set-comparisons at the k boundary are
+    // well-defined
+    val data = for {
+      (b, c) <- bases.zipWithIndex
+      i <- 1 to 40
+    } yield ((c * 100 + i).toLong,
+      b.zipWithIndex.map { case (v, d) =>
+        v + 0.05f * (((i * i + d * 31) % 97) - 48) / 48f })
+    val df = data.toDF("id", "emb")
+    val cents = Similarity.kmeansCentroids(df, col("id"), col("emb"), k = 3, iters = 5)
+    assert(cents.size == 3)
+    // every trained centroid aligns strongly with exactly one true base,
+    // and all three bases are claimed (the clusters were found, not merged)
+    val claimed = cents.map { case (_, ce) =>
+      val sims = bases.map(b => Similarity.cosineLocal(ce, b))
+      assert(sims.max > 0.98, s"centroid aligns ${sims.max}")
+      sims.indexOf(sims.max)
+    }
+    assert(claimed.toSet.size == 3)
+    // unit-length invariant (spherical k-means)
+    cents.foreach { case (_, ce) =>
+      assert(math.abs(math.sqrt(ce.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    }
+    // probing all trained cells must equal brute force exactly
+    val q = Seq(0.9f, 0.1f, 0f, 0f)
+    val all = Similarity.ivfTopKKmeans(df, col("id"), col("emb"), q, k = 5,
+      nCells = 3, nProbe = 3, iters = 5).select("id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(df, col("emb"), q, 5)
+      .select("id").as[Long].collect().toSeq
+    assert(all.toSet == brute.toSet)
+    // a trained model is reusable without retraining
+    val reused = Similarity.ivfTopKKmeans(df, col("id"), col("emb"), q, k = 5,
+      nCells = 3, nProbe = 3, centroids = Some(cents))
+      .select("id").as[Long].collect().toSeq
+    assert(reused.toSet == brute.toSet)
+  }
+
+  test("kmeans with zero iterations returns the seeded sample; empty-cell rule holds") {
+    val df = (1 to 20).map(i => (i.toLong, Seq(i * 0.1f, 1f))).toDF("id", "emb")
+    val seeded = Similarity.kmeansCentroids(df, col("id"), col("emb"), k = 4, iters = 0)
+    assert(seeded.size == 4)
+    // k > distinct directions: some cells may empty out — training must
+    // still return k centroids (empty cells keep their previous vector)
+    val tight = (1 to 10).map(i => (i.toLong, Seq(1f, 0f))).toDF("id", "emb")
+    val cents = Similarity.kmeansCentroids(tight, col("id"), col("emb"), k = 3, iters = 3)
+    assert(cents.size == 3)
+  }
+
   test("bucket-partitioned index: probe prunes partitions and finds the neighbor") {
     val rnd = new scala.util.Random(41)
     val target = Seq.fill(16)(rnd.nextFloat() - 0.5f)
