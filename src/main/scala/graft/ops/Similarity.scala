@@ -308,11 +308,7 @@ object Similarity {
     val dim = cembs.head._2.length
     var it = 0
     while (it < iters) {
-      val sums = named.withColumn("cell", cellOf(col("emb"), cembs))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          (0 until dim).map(d =>
-            sum(col("emb").getItem(d).cast("double")).as(s"s$d")): _*)
+      val sums = kmeansIterationSums(named, cembs, dim)
         .collect()
         .map(r => r.getInt(0) -> ((r.getLong(1), (0 until dim).map(d => r.getDouble(d + 2)))))
         .toMap
@@ -326,6 +322,19 @@ object Similarity {
     }
     cembs
   }
+
+  /** One Lloyd round's aggregation: (cell, n, s0..s{dim-1}) running sums.
+    * Exposed so PlanShapeSpec can pin the scale contract — one hash
+    * exchange carrying only k×(dim+1) combined sums, never the embedding
+    * column, with a map-side partial aggregate below it.
+    */
+  private[graft] def kmeansIterationSums(named: DataFrame,
+      cembs: Seq[(Int, Seq[Float])], dim: Int): DataFrame =
+    named.withColumn("cell", cellOf(col("emb"), cembs))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(d =>
+          sum(col("emb").getItem(d).cast("double")).as(s"s$d")): _*)
 
   /** IVF probe over k-means-trained cells: train (or pass `centroids`
     * from a previous `kmeansCentroids` run — the model is reusable), then

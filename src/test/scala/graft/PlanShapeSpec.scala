@@ -132,6 +132,29 @@ class PlanShapeSpec extends SparkTestBase {
       s"packing fell into a global sort:\n$p")
   }
 
+  test("kmeans iteration: one thin exchange of combined sums, no embedding shuffle") {
+    // the Lloyd-round scale contract: assignment is map-side (broadcast
+    // centroids in a codegen'd argmax), then ONE hash(cell) exchange of
+    // partial-aggregated (cell, n, s0..s{dim-1}) rows — the corpus and
+    // its embeddings never repartition
+    val named = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id AS id", "embedding AS emb")
+    graft.functions.GraftExtensions.ensure(spark)
+    val cembs = (1 to 4).map(c => (c, Seq.fill(8)((c * 0.1).toFloat))).toSeq
+    val p = graft.ops.Similarity.kmeansIterationSums(named, cembs, 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(nExchange == 1, s"kmeans round has $nExchange exchanges:\n$p")
+    // partial agg below the exchange (map-side combine), final above
+    assert("""HashAggregate""".r.findAllIn(p).size >= 2, s"no two-phase agg:\n$p")
+    // the exchange input is the combined sums, never the emb column
+    val sections = p.split("""\(\d+\) Exchange""").drop(1)
+    val inputs = sections.flatMap(_.linesIterator.find(_.startsWith("Input")))
+    inputs.foreach { inp =>
+      assert(!inp.contains("emb"), s"embedding rides the kmeans exchange:\n$inp")
+    }
+  }
+
   test("conv-keyed pipeline reuses one hash(conv_id) exchange (q_group_by_value)") {
     val p = plan("q_group_by_value")
     val nExchange = """\(\d+\) Exchange""".r.findAllIn(p).size
