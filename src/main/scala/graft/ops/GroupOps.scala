@@ -227,6 +227,101 @@ object GroupOps {
     c => f(c)
   }
 
+  private val docMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** format `json_documents` (unarchive.go:206-221): decode a stream of
+    * concatenated JSON documents (any JSON values, optionally
+    * whitespace-separated); each document is re-marshaled Go-style —
+    * compact, object keys sorted at every level (the reference's
+    * part.SetJSON + json.Marshal shape, AwkFuncs.compactSorted).
+    * Malformed stream → null (the reference fails the whole part →
+    * error-flag contract). // UDF
+    */
+  val unarchiveJsonDocuments: Column => Column = {
+    val f = udf { (blob: String) =>
+      if (blob == null) null
+      else
+        try {
+          val it = docMapper
+            .readerFor(classOf[com.fasterxml.jackson.databind.JsonNode])
+            .readValues[com.fasterxml.jackson.databind.JsonNode](blob)
+          val out = Seq.newBuilder[String]
+          while (it.hasNext) out += AwkFuncs.compactSorted(it.next())
+          out.result()
+        } catch { case scala.util.control.NonFatal(_) => null }
+    }
+    c => f(c)
+  }
+
+  /** format `json_map` (unarchive.go:242-263): explode a JSON object's
+    * entries — one row per entry, value as its raw JSON slice, key as the
+    * reference's `archive_key` metadata. Entry order is unspecified in the
+    * reference (Go map iteration); here it is document order. Pure column
+    * form: from_json to map<string,string> keeps each value's raw JSON
+    * text (nested objects/arrays included); a non-object blob parses to
+    * null (the reference's invalid-type error → error-flag contract).
+    */
+  def unarchiveJsonMap(blob: Column): Column = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    map_entries(from_json(blob, MapType(StringType, StringType)))
+  }
+
+  /** format `csv` (unarchive.go:265-303): parse an RFC 4180 csv blob with
+    * a required header row; each data row becomes a map header→value.
+    * Go csv.Reader semantics: `""` escapes a quote inside a quoted field,
+    * \r\n collapses to \n, blank lines are skipped, a bare quote in an
+    * unquoted field (or trailing characters after a closing quote) is an
+    * error. The reference fails the WHOLE part on ragged rows (too
+    * few/too many values) or any parse error → null here. // UDF
+    */
+  val unarchiveCsv: Column => Column = {
+    val f = udf { (blob: String) => parseCsvRfc4180(blob).orNull }
+    c => f(c)
+  }
+
+  private def parseCsvRfc4180(blob: String): Option[Seq[Map[String, String]]] = {
+    if (blob == null) return None
+    val s = blob.replace("\r\n", "\n")
+    val records = Seq.newBuilder[Vector[String]]
+    var rec = Vector.newBuilder[String]
+    val field = new StringBuilder
+    var inQuotes = false      // inside an open quoted section
+    var quotedClosed = false  // a quoted section just closed; only , or \n may follow
+    var sawAny = false        // current record has any field content or separator
+    def endField(): Unit = { rec += field.toString; field.setLength(0); quotedClosed = false }
+    def endRecord(): Unit = {
+      endField(); records += rec.result(); rec = Vector.newBuilder; sawAny = false
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { field.append('"'); i += 1 }
+          else { inQuotes = false; quotedClosed = true }
+        } else field.append(c)
+      } else c match {
+        case '"' =>
+          if (field.nonEmpty || quotedClosed) return None // bare/trailing quote
+          inQuotes = true; sawAny = true
+        case ',' => sawAny = true; endField()
+        case '\n' => if (sawAny) endRecord() // blank lines are skipped
+        case other =>
+          if (quotedClosed) return None // chars after a closing quote
+          field.append(other); sawAny = true
+      }
+      i += 1
+    }
+    if (inQuotes) return None // unterminated quoted field
+    if (sawAny) endRecord()
+    val rs = records.result()
+    if (rs.isEmpty) return Some(Nil) // empty blob → zero parts (EOF before header)
+    val headers = rs.head
+    val rows = rs.tail
+    if (rows.exists(_.length != headers.length)) return None // ragged row
+    Some(rows.map(r => headers.zip(r).toMap))
+  }
+
   /** The windowed reduce pattern (config/test/bloblang/windowed.yaml:1-28):
     * from_all()+sum / from_all()+max collapse a batch to one row.
     */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.GroupOps
 import graft.sources.Tables
@@ -50,6 +50,61 @@ object GroupQueries {
       val packed = GroupOps.archive(df, col("conv_id"), col("turn_idx"), col("text"))
       GroupOps.unarchive(packed.select("conv_id", "archived"), col("archived"))
         .select(col("conv_id"), col("turn_idx"), col("payload").as("text_rt"))
+    }),
+
+    // unarchive(json_map): one JSON object per conversation ("t<idx>" →
+    // {role,text}), exploded back to entries — value is the raw JSON slice,
+    // key is the reference's archive_key metadata (unarchive.go:242-263).
+    "q_unarchive_json_map" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      val packed = df.groupBy(col("conv_id"))
+        .agg(sort_array(collect_list(struct(col("turn_idx").as("ord"),
+          concat(lit("\"t"), col("turn_idx").cast("string"), lit("\":"),
+            to_json(struct(col("role"), col("text")))).as("entry")))).as("es"))
+        .withColumn("blob", concat(lit("{"), array_join(col("es.entry"), ","), lit("}")))
+      packed.select(col("conv_id"), explode(GroupOps.unarchiveJsonMap(col("blob"))).as("e"))
+        .select(col("conv_id"), col("e.key").as("archive_key"),
+          get_json_object(col("e.value"), "$.role").as("role"),
+          get_json_object(col("e.value"), "$.text").as("text"))
+    }),
+
+    // unarchive(json_documents): a stream of concatenated JSON docs per
+    // conversation, decoded back to one row per document
+    // (unarchive.go:206-221; Go-style sorted-key re-marshal).
+    "q_unarchive_json_docs" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      val packed = df.groupBy(col("conv_id"))
+        .agg(sort_array(collect_list(struct(col("turn_idx").as("ord"),
+          to_json(struct(col("role"), col("text"), col("turn_idx"))).as("doc")))).as("ds"))
+        .withColumn("blob", array_join(col("ds.doc"), "\n"))
+      packed.select(col("conv_id"),
+          posexplode(GroupOps.unarchiveJsonDocuments(col("blob"))))
+        .select(col("conv_id"), col("pos").cast("int").as("doc_idx"),
+          get_json_object(col("col"), "$.role").as("role"),
+          get_json_object(col("col"), "$.turn_idx").cast("int").as("turn_idx"),
+          get_json_object(col("col"), "$.text").as("text"))
+    }),
+
+    // unarchive(csv): an RFC 4180 csv blob per conversation (header row +
+    // one quoted row per turn), parsed back to header→value maps
+    // (unarchive.go:265-303). Exercises quote/comma escaping round-trip.
+    "q_unarchive_csv" -> ((s, dir) => {
+      val df = Tables.transcripts(s, dir)
+      def quoted(c: Column): Column = when(c.rlike("[\",\n\r]"),
+        concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))).otherwise(c)
+      val packed = df
+        .select(col("conv_id"), col("turn_idx"),
+          concat_ws(",", col("turn_idx").cast("string"), quoted(col("role")),
+            quoted(col("text"))).as("line"))
+        .groupBy(col("conv_id"))
+        .agg(sort_array(collect_list(struct(col("turn_idx").as("ord"),
+          col("line").as("l")))).as("ls"))
+        .withColumn("blob",
+          concat(lit("turn_idx,role,text\n"), array_join(col("ls.l"), "\n")))
+      packed.select(col("conv_id"), posexplode(GroupOps.unarchiveCsv(col("blob"))))
+        .select(col("conv_id"), col("pos").cast("int").as("row_idx"),
+          col("col")("turn_idx").as("turn_val"),
+          col("col")("role").as("role"), col("col")("text").as("text"))
     }),
 
     // select_parts with negative indexing: first two and last turn of each
@@ -116,6 +171,17 @@ object GroupQueries {
         |FROM transcripts GROUP BY 1""".stripMargin),
     "q_unarchive" -> (T +
       "SELECT conv_id, turn_idx, text AS text_rt FROM transcripts"),
+    "q_unarchive_json_map" -> (T +
+      """SELECT conv_id, 't' || CAST(turn_idx AS VARCHAR) AS archive_key,
+        |  role, text FROM transcripts""".stripMargin),
+    "q_unarchive_json_docs" -> (T +
+      """SELECT conv_id,
+        |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS doc_idx,
+        |  role, turn_idx, text FROM transcripts""".stripMargin),
+    "q_unarchive_csv" -> (T +
+      """SELECT conv_id,
+        |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS row_idx,
+        |  CAST(turn_idx AS VARCHAR) AS turn_val, role, text FROM transcripts""".stripMargin),
     "q_select_parts" -> (T +
       """SELECT conv_id, turn_idx, role FROM (
         |  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS idx,

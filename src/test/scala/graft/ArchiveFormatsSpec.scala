@@ -56,6 +56,58 @@ class ArchiveFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("json_documents decodes a concatenated stream with Go-sorted re-marshal") {
+    val blob = """{"b":1,"a":{"z":2,"y":[1,2]}} "x"
+                 |[true,null] 3.5""".stripMargin
+    val got = Seq(blob).toDF("blob")
+      .select(GroupOps.unarchiveJsonDocuments(col("blob")))
+      .as[Seq[String]].head()
+    // each document re-marshaled compact with object keys sorted at every
+    // level — the reference's SetJSON + Go json.Marshal shape
+    assert(got == Seq("""{"a":{"y":[1,2],"z":2},"b":1}""", "\"x\"", "[true,null]", "3.5"))
+    // malformed stream fails the whole part (error-flag contract)
+    val bad = Seq("""{"a":1} {"b":""").toDF("blob")
+      .select(GroupOps.unarchiveJsonDocuments(col("blob")).as("d"))
+    assert(bad.filter(col("d").isNull).count() == 1)
+  }
+
+  test("json_map explodes entries with raw JSON slices and archive_key") {
+    val got = Seq("""{"b":{"x":1},"a":[1,2],"c":"s"}""").toDF("blob")
+      .select(explode(GroupOps.unarchiveJsonMap(col("blob"))).as("e"))
+      .select(col("e.key"), col("e.value"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("b", """{"x":1}"""), ("a", "[1,2]"), ("c", "s")))
+    // a non-object blob is the reference's invalid-type error → null
+    val bad = Seq("[1,2]").toDF("blob")
+      .select(GroupOps.unarchiveJsonMap(col("blob")).as("e"))
+    assert(bad.filter(col("e").isNull).count() == 1)
+  }
+
+  test("csv parses RFC 4180 with header; ragged/bare-quote rows fail the part") {
+    val blob = "id,name,note\r\n" +
+      "1,\"al,pha\",plain\n" +
+      "\n" + // blank line skipped
+      "2,beta,\"say \"\"hi\"\"\"\n" +
+      "3,gamma,\"line1\nline2\"\n"
+    val got = Seq(blob).toDF("blob")
+      .select(posexplode(GroupOps.unarchiveCsv(col("blob"))))
+      .select(col("pos"), col("col")("id"), col("col")("name"), col("col")("note"))
+      .as[(Int, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      (0, "1", "al,pha", "plain"),
+      (1, "2", "beta", "say \"hi\""),
+      (2, "3", "gamma", "line1\nline2")))
+    // reference error contract: ragged row / bare quote / trailing chars
+    // after a closing quote each fail the WHOLE part
+    for (bad <- Seq("a,b\n1,2,3\n", "a,b\n1,x\"y\n", "a,b\n1,\"x\"y\n", "a,b\n1,\"x\n"))
+      assert(Seq(bad).toDF("blob")
+        .select(GroupOps.unarchiveCsv(col("blob")).as("r"))
+        .filter(col("r").isNull).count() == 1, s"expected null for: $bad")
+    // empty blob → zero parts (EOF before the header row)
+    assert(Seq("").toDF("blob")
+      .select(size(GroupOps.unarchiveCsv(col("blob")))).as[Int].head() == 0)
+  }
+
   test("every compress algorithm round-trips; zlib/gzip carry their magic") {
     val text = "the quick brown fox jumps over the lazy dog " * 20
     val df = Seq(text).toDF("t")
