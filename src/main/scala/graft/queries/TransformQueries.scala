@@ -27,6 +27,24 @@ object TransformQueries {
         .select("conv_id", "turn_idx", "role_up", "text_len", "content_md5", "tag")
     }),
 
+    // The Bloblang TEXT engine (blob/Bloblang.scala): an actual reference
+    // mapping program, compiled from source, per-row over the transcript
+    // JSON — match/method-chain surface vs plain SQL.
+    "q_bloblang" -> ((s, dir) => {
+      val program =
+        """root.shout = this.text.uppercase()
+          |root.n_words = this.text.split(" ").length()
+          |root.role_tag = match this.role { "user" => "U", "assistant" => "A", _ => "T" }""".stripMargin
+      val m = graft.blob.Bloblang.procColumn(program)
+      Tables.transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          m(to_json(struct(col("role"), col("text")))).as("r"))
+        .select(col("conv_id"), col("turn_idx"),
+          get_json_object(col("r.content"), "$.shout").as("shout"),
+          get_json_object(col("r.content"), "$.n_words").cast("int").as("n_words"),
+          get_json_object(col("r.content"), "$.role_tag").as("role_tag"))
+    }),
+
     // root = deleted() filtering (bloblang functions.go:277).
     "q_filter_proc" -> ((s, dir) => {
       val df = Tables.transcripts(s, dir)
@@ -244,6 +262,11 @@ object TransformQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_bloblang" -> (T +
+      """SELECT conv_id, turn_idx, upper(text) AS shout,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words,
+        |  CASE role WHEN 'user' THEN 'U' WHEN 'assistant' THEN 'A' ELSE 'T' END AS role_tag
+        |FROM transcripts""".stripMargin),
     "q_map_proc" -> (T +
       """SELECT conv_id, turn_idx, upper(role) AS role_up,
         |  length(text) AS text_len, md5(text) AS content_md5,
