@@ -66,11 +66,11 @@ object Bloblang {
   private case class IfExpr(branches: Vector[(Expr, Expr)], els: Option[Expr]) extends Expr
   private case class MatchExpr(target: Option[Expr], cases: Vector[(Option[Expr], Expr)]) extends Expr
 
-  private[blob] sealed trait Stmt extends Serializable
-  private case class Assign(path: Vector[String], e: Expr) extends Stmt // empty = root
-  private case class LetStmt(name: String, e: Expr) extends Stmt
-  private case class MetaStmt(key: String, e: Expr) extends Stmt
-  private case class MapDef(name: String, stmts: Vector[Stmt]) extends Stmt
+  private[blob] sealed trait Stmt extends Serializable { def line: Int }
+  private case class Assign(path: Vector[String], e: Expr, line: Int) extends Stmt // empty = root
+  private case class LetStmt(name: String, e: Expr, line: Int) extends Stmt
+  private case class MetaStmt(key: String, e: Expr, line: Int) extends Stmt
+  private case class MapDef(name: String, stmts: Vector[Stmt], line: Int) extends Stmt
 
   // ------------------------------------------------------------- lexer --
   private sealed trait Tok
@@ -80,19 +80,27 @@ object Bloblang {
   private case class TPunc(s: String) extends Tok
   private case object TEOF extends Tok
 
-  private def lex(src: String): Vector[Tok] = {
+  /** Tokens with 1-based source lines (the reference reports assignment
+    * failures as `failed assignment (line N): …` — executor.go:178-191 —
+    * and the corpus asserts those messages verbatim).
+    */
+  private def lex(src: String): (Vector[Tok], Vector[Int]) = {
     val out = Vector.newBuilder[Tok]
+    val lines = Vector.newBuilder[Int]
+    var line = 1
+    def emit(t: Tok): Unit = { out += t; lines += line }
     var i = 0
     val n = src.length
     def isIdentStart(c: Char) = c.isLetter || c == '_'
     def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < n) {
       val c = src.charAt(i)
-      if (c.isWhitespace) i += 1
+      if (c == '\n') { line += 1; i += 1 }
+      else if (c.isWhitespace) i += 1
       else if (c == '#') { while (i < n && src.charAt(i) != '\n') i += 1 }
       else if (isIdentStart(c)) {
         val s = i; while (i < n && isIdent(src.charAt(i))) i += 1
-        out += TIdent(src.substring(s, i))
+        emit(TIdent(src.substring(s, i)))
       } else if (c.isDigit) {
         val s = i
         // a '.' only continues the number when a digit follows — `this.0.keys()`
@@ -103,11 +111,12 @@ object Bloblang {
           i += 1; if (i < n && (src.charAt(i) == '+' || src.charAt(i) == '-')) i += 1
           while (i < n && src.charAt(i).isDigit) i += 1
         }
-        out += TNum(src.substring(s, i))
+        emit(TNum(src.substring(s, i)))
       } else if (c == '"') {
         val b = new StringBuilder; i += 1
         while (i < n && src.charAt(i) != '"') {
           val ch = src.charAt(i)
+          if (ch == '\n') line += 1
           if (ch == '\\' && i + 1 < n) {
             src.charAt(i + 1) match {
               case 'n' => b.append('\n'); i += 2
@@ -124,25 +133,26 @@ object Bloblang {
         }
         if (i >= n) fail("unterminated string literal")
         i += 1
-        out += TStr(b.toString)
+        emit(TStr(b.toString))
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
         two match {
           case "==" | "!=" | ">=" | "<=" | "&&" | "||" | "->" | "=>" =>
-            out += TPunc(two); i += 2
+            emit(TPunc(two)); i += 2
           case _ =>
-            if ("(){}[],.:$=<>+-*/%!|".indexOf(c) >= 0) { out += TPunc(c.toString); i += 1 }
+            if ("(){}[],.:$=<>+-*/%!|".indexOf(c) >= 0) { emit(TPunc(c.toString)); i += 1 }
             else fail(s"unexpected character '$c' at offset $i")
         }
       }
     }
-    out += TEOF
-    out.result()
+    emit(TEOF)
+    (out.result(), lines.result())
   }
 
   // ------------------------------------------------------------ parser --
-  private final class Parser(toks: Vector[Tok]) {
+  private final class Parser(toks: Vector[Tok], tokLines: Vector[Int]) {
     private var pos = 0
+    private def curLine: Int = tokLines(math.min(pos, tokLines.length - 1))
     private def peek: Tok = toks(pos)
     private def peek2: Tok = if (pos + 1 < toks.length) toks(pos + 1) else TEOF
     private def next(): Tok = { val t = toks(pos); pos += 1; t }
@@ -158,43 +168,68 @@ object Bloblang {
       out.result()
     }
 
-    private def stmt(): Stmt = peek match {
-      case TIdent("let") =>
-        next()
-        val name = next() match {
-          case TIdent(s) => s; case TStr(s) => s; case t => fail(s"let: expected name, got $t")
-        }
-        expect("="); LetStmt(name, expr())
-      case TIdent("meta") if peek2 != TPunc("(") && peek2 != TPunc("=") =>
-        next()
-        val key = next() match {
-          case TIdent(s) => s; case TStr(s) => s; case t => fail(s"meta: expected key, got $t")
-        }
-        expect("="); MetaStmt(key, expr())
-      case TIdent("map") if peek2.isInstanceOf[TIdent] || peek2.isInstanceOf[TStr] =>
-        next()
-        val name = next() match { case TIdent(s) => s; case TStr(s) => s; case t => fail(s"$t") }
-        expect("{")
-        val body = Vector.newBuilder[Stmt]
-        while (!isPunc("}")) body += stmt()
-        expect("}")
-        MapDef(name, body.result())
-      case TIdent(head) =>
-        next()
-        val segs = Vector.newBuilder[String]
-        if (head != "root") segs += head
-        while (isPunc(".")) {
+    private def stmt(): Stmt = {
+      val ln = curLine
+      peek match {
+        case TIdent("let") =>
           next()
-          next() match {
-            case TIdent(s) => segs += s
-            case TNum(s) => segs += s
-            case TStr(s) => segs += s
-            case t => fail(s"assignment path: unexpected $t")
+          val name = next() match {
+            case TIdent(s) => s; case TStr(s) => s; case t => fail(s"let: expected name, got $t")
           }
+          expect("="); LetStmt(name, expr(), ln)
+        case TIdent("meta") if peek2 != TPunc("(") && peek2 != TPunc("=") =>
+          next()
+          val key = next() match {
+            case TIdent(s) => s; case TStr(s) => s; case t => fail(s"meta: expected key, got $t")
+          }
+          expect("="); MetaStmt(key, expr(), ln)
+        case TIdent("map") if peek2.isInstanceOf[TIdent] || peek2.isInstanceOf[TStr] =>
+          next()
+          val name = next() match { case TIdent(s) => s; case TStr(s) => s; case t => fail(s"$t") }
+          expect("{")
+          val body = Vector.newBuilder[Stmt]
+          while (!isPunc("}")) body += stmt()
+          expect("}")
+          MapDef(name, body.result(), ln)
+        case TIdent(_) if assignmentAhead() =>
+          val TIdent(head) = next(): @unchecked
+          val segs = Vector.newBuilder[String]
+          if (head != "root") segs += head
+          while (isPunc(".")) {
+            next()
+            next() match {
+              case TIdent(s) => segs += s
+              case TNum(s) => segs += s
+              case TStr(s) => segs += s
+              case t => fail(s"assignment path: unexpected $t")
+            }
+          }
+          expect("=")
+          Assign(segs.result(), expr(), ln)
+        case _ =>
+          // a bare query is a valid mapping meaning `root = <query>` — the
+          // form `benthos blobl 'this.foo'` and the test runner's bloblang
+          // predicate conditions use
+          Assign(Vector.empty, expr(), ln)
+      }
+    }
+
+    /** Lookahead: ident ('.' (ident|num|str))* '=' — an assignment target
+      * (without consuming), distinguishing `ands = …` from the bare query
+      * `error() == …`.
+      */
+    private def assignmentAhead(): Boolean = {
+      var p = pos
+      def tok(i: Int): Tok = if (i < toks.length) toks(i) else TEOF
+      if (!tok(p).isInstanceOf[TIdent]) return false
+      p += 1
+      while (tok(p) == TPunc(".")) {
+        tok(p + 1) match {
+          case TIdent(_) | TNum(_) | TStr(_) => p += 2
+          case _ => return false
         }
-        expect("=")
-        Assign(segs.result(), expr())
-      case t => fail(s"expected statement, got $t")
+      }
+      tok(p) == TPunc("=")
     }
 
     def expr(): Expr = pipe()
@@ -355,7 +390,8 @@ object Bloblang {
     }
   }
 
-  private val KnownFns = Set("content", "deleted", "env", "meta", "json", "throw", "range")
+  private val KnownFns =
+    Set("content", "deleted", "env", "meta", "json", "throw", "range", "error", "errored")
   private val UnsupportedFns =
     Set("batch_index", "batch_size", "count", "uuid_v4", "nanoid", "ksuid", "now",
       "timestamp_unix", "timestamp_unix_nano", "random_int", "hostname")
@@ -373,7 +409,8 @@ object Bloblang {
       val meta: mutable.LinkedHashMap[String, String],
       val envFn: String => Option[String],
       val maps: Map[String, Vector[Stmt]],
-      var depth: Int)
+      var depth: Int,
+      val errorMsg: String) // incoming error flag (the reference's error())
 
   private case object LazyThis
 
@@ -621,6 +658,8 @@ object Bloblang {
         if (args.isEmpty) doc
         else goString(arg(0)).split('.').foldLeft(doc)((acc, seg) => fieldOf(acc, seg))
       case "throw" => fail(goString(arg(0)))
+      case "error" => env.errorMsg // null when the message carries no error
+      case "errored" => env.errorMsg != null
       case "range" =>
         val start = longOf(arg(0)); val stop = longOf(arg(1))
         val step = if (args.length > 2) longOf(arg(2)) else 1L
@@ -1076,7 +1115,8 @@ object Bloblang {
     def run(
         content: Array[Byte],
         meta0: Map[String, String] = Map.empty,
-        envFn: String => Option[String] = k => sys.env.get(k)): Result = {
+        envFn: String => Option[String] = k => sys.env.get(k),
+        errorIn: Option[String] = None): Result = {
       var docCache: Option[Any] = None
       def lazyDoc(): Any = docCache match {
         case Some(v) => v
@@ -1091,10 +1131,19 @@ object Bloblang {
       }
       val meta = mutable.LinkedHashMap[String, String](meta0.toSeq: _*)
       val env = new Env(() => lazyDoc(), content, box(LazyThis),
-        mutable.Map.empty, meta, envFn, maps, 0)
+        mutable.Map.empty, meta, envFn, maps, 0, errorIn.orNull)
       var newValue: Any = VNothing
       try {
-        stmts.foreach { st => newValue = execStmt(st, env, newValue) }
+        stmts.foreach { st =>
+          newValue =
+            try execStmt(st, env, newValue)
+            catch {
+              // the reference's per-statement error shape, asserted verbatim
+              // by the corpus (executor.go:178-191)
+              case e: BloblangError =>
+                throw new BloblangError(s"failed assignment (line ${st.line}): ${e.getMessage}")
+            }
+        }
         newValue match {
           case VDelete => Result(None, meta.toMap, None)
           case VNothing => Result(Some(content), meta.toMap, None)
@@ -1118,7 +1167,7 @@ object Bloblang {
     */
   private def execMap(stmts: Vector[Stmt], value: Any, env: Env): Any = {
     val inner = new Env(env.lazyDoc, env.content, box(value),
-      mutable.Map.empty, env.meta, env.envFn, env.maps, env.depth)
+      mutable.Map.empty, env.meta, env.envFn, env.maps, env.depth, env.errorMsg)
     var local: Any = VNothing
     stmts.foreach { st => local = execStmt(st, inner, local) }
     local
@@ -1129,19 +1178,19 @@ object Bloblang {
     * (executor.go:193-195).
     */
   private def execStmt(st: Stmt, env: Env, root: Any): Any = st match {
-    case MapDef(_, _) => root // registered at compile time
-    case LetStmt(name, e) =>
+    case MapDef(_, _, _) => root // registered at compile time
+    case LetStmt(name, e, _) =>
       val v = eval(e, env)
       if (v != VNothing) env.vars(name) = v
       root
-    case MetaStmt(key, e) =>
+    case MetaStmt(key, e, _) =>
       eval(e, env) match {
         case VNothing => ()
-        case VDelete => env.meta.remove(key)
+        case VDelete => env.meta.remove(key): Unit
         case v => env.meta(key) = goString(v)
       }
       root
-    case Assign(path, e) =>
+    case Assign(path, e, _) =>
       val v = eval(e, env)
       if (v == VNothing) root
       else if (path.isEmpty) v
@@ -1173,8 +1222,9 @@ object Bloblang {
     * compile time (the reference rejects bad mappings at config load).
     */
   def compile(program: String): Executor = {
-    val stmts = new Parser(lex(program)).program()
-    val maps = stmts.collect { case MapDef(n, body) => n -> body }.toMap
+    val (toks, tokLines) = lex(program)
+    val stmts = new Parser(toks, tokLines).program()
+    val maps = stmts.collect { case MapDef(n, body, _) => n -> body }.toMap
     new Executor(stmts, maps)
   }
 
@@ -1192,6 +1242,38 @@ object Bloblang {
     * the text engine is the compatibility surface; hot paths use the
     * Catalyst mappings in Blob.
     */
+  /** Full message-frame stage for the config runner: operates on columns
+    * (text, meta map, error) like the reference's bloblang processor on a
+    * Part — meta reads/writes, error() visibility, deleted-row removal,
+    * mapping failure → error flag with content unchanged. // UDF
+    */
+  def procStage(
+      program: String,
+      envMap: Map[String, String],
+      textCol: String = "text",
+      metaCol: String = "meta",
+      errCol: String = graft.ops.Errors.ErrCol): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    compile(program) // fail fast on the driver
+    val f = udf { (content: String, meta: Map[String, String], err: String) =>
+      val r = cached(program).run(
+        if (content == null) Array.emptyByteArray else content.getBytes("UTF-8"),
+        if (meta == null) Map.empty else meta,
+        k => envMap.get(k).orElse(sys.env.get(k)),
+        Option(err))
+      (r.text.orNull, r.meta, r.content.isEmpty, r.error.orNull)
+    }
+    df => {
+      import org.apache.spark.sql.functions.col
+      val r = df.withColumn("__bl", f(col(textCol), col(metaCol), col(errCol)))
+      r.filter(!col("__bl._3"))
+        .withColumn(textCol, col("__bl._1"))
+        .withColumn(metaCol, col("__bl._2"))
+        // a failed mapping SETS the flag; an existing flag otherwise rides along
+        .withColumn(errCol, org.apache.spark.sql.functions.coalesce(col("__bl._4"), col(errCol)))
+        .drop("__bl")
+    }
+  }
+
   def procColumn(program: String, envOverride: Map[String, String] = null): Column => Column = {
     compile(program) // fail fast on the driver
     val envMap = Option(envOverride)
