@@ -51,26 +51,26 @@ object Bloblang {
 
   // --------------------------------------------------------------- AST --
   private[blob] sealed trait Expr extends Serializable
-  private case class Lit(v: Any) extends Expr
-  private case class ArrLit(items: Vector[Expr]) extends Expr
-  private case class ObjLit(fields: Vector[(String, Expr)]) extends Expr
-  private case object ThisRef extends Expr
-  private case class NameRef(name: String) extends Expr // naked path head: var else ctx field
-  private case class VarRef(name: String) extends Expr // $name
-  private case class FieldGet(target: Expr, name: String) extends Expr
-  private case class MethodCall(target: Expr, name: String, args: Vector[Expr]) extends Expr
-  private case class FuncCall(name: String, args: Vector[Expr]) extends Expr
-  private case class Lambda(param: String, body: Expr) extends Expr
-  private case class UnOp(op: String, e: Expr) extends Expr
-  private case class BinOp(op: String, l: Expr, r: Expr) extends Expr
-  private case class IfExpr(branches: Vector[(Expr, Expr)], els: Option[Expr]) extends Expr
-  private case class MatchExpr(target: Option[Expr], cases: Vector[(Option[Expr], Expr)]) extends Expr
+  private[blob] case class Lit(v: Any) extends Expr
+  private[blob] case class ArrLit(items: Vector[Expr]) extends Expr
+  private[blob] case class ObjLit(fields: Vector[(String, Expr)]) extends Expr
+  private[blob] case object ThisRef extends Expr
+  private[blob] case class NameRef(name: String) extends Expr // naked path head: var else ctx field
+  private[blob] case class VarRef(name: String) extends Expr // $name
+  private[blob] case class FieldGet(target: Expr, name: String) extends Expr
+  private[blob] case class MethodCall(target: Expr, name: String, args: Vector[Expr]) extends Expr
+  private[blob] case class FuncCall(name: String, args: Vector[Expr]) extends Expr
+  private[blob] case class Lambda(param: String, body: Expr) extends Expr
+  private[blob] case class UnOp(op: String, e: Expr) extends Expr
+  private[blob] case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  private[blob] case class IfExpr(branches: Vector[(Expr, Expr)], els: Option[Expr]) extends Expr
+  private[blob] case class MatchExpr(target: Option[Expr], cases: Vector[(Option[Expr], Expr)]) extends Expr
 
   private[blob] sealed trait Stmt extends Serializable { def line: Int }
-  private case class Assign(path: Vector[String], e: Expr, line: Int) extends Stmt // empty = root
-  private case class LetStmt(name: String, e: Expr, line: Int) extends Stmt
-  private case class MetaStmt(key: String, e: Expr, line: Int) extends Stmt
-  private case class MapDef(name: String, stmts: Vector[Stmt], line: Int) extends Stmt
+  private[blob] case class Assign(path: Vector[String], e: Expr, line: Int) extends Stmt // empty = root
+  private[blob] case class LetStmt(name: String, e: Expr, line: Int) extends Stmt
+  private[blob] case class MetaStmt(key: String, e: Expr, line: Int) extends Stmt
+  private[blob] case class MapDef(name: String, stmts: Vector[Stmt], line: Int) extends Stmt
 
   // ------------------------------------------------------------- lexer --
   private sealed trait Tok
@@ -1226,6 +1226,12 @@ object Bloblang {
     val stmts = new Parser(toks, tokLines).program()
     val maps = stmts.collect { case MapDef(n, body, _) => n -> body }.toMap
     new Executor(stmts, maps)
+  }
+
+  /** Parsed statements for the Catalyst translator (BloblangCompiler). */
+  private[blob] def parseStmts(program: String): Vector[Stmt] = {
+    val (toks, tokLines) = lex(program)
+    new Parser(toks, tokLines).program()
   }
 
   // ---------------------------------------------------- Spark surface --

@@ -45,6 +45,22 @@ object TransformQueries {
           get_json_object(col("r.content"), "$.role_tag").as("role_tag"))
     }),
 
+    // The SAME program text through the Bloblang → Catalyst translator
+    // (BloblangCompiler): native when-chains/string functions, no UDF —
+    // cross-validated against q_bloblang by sharing one DuckDB oracle.
+    "q_bloblang_compiled" -> ((s, dir) => {
+      val program =
+        """root.shout = this.text.uppercase()
+          |root.n_words = this.text.split(" ").length()
+          |root.role_tag = match this.role { "user" => "U", "assistant" => "A", _ => "T" }""".stripMargin
+      val df = Tables.transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"))
+      val stage = graft.blob.BloblangCompiler.stage(program, df.schema)
+        .getOrElse(throw new IllegalStateException("q_bloblang_compiled: program fell out of the compiled subset"))
+      stage(df).select(col("conv_id"), col("turn_idx"), col("shout"),
+        col("n_words").cast("int").as("n_words"), col("role_tag"))
+    }),
+
     // root = deleted() filtering (bloblang functions.go:277).
     "q_filter_proc" -> ((s, dir) => {
       val df = Tables.transcripts(s, dir)
@@ -263,6 +279,11 @@ object TransformQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bloblang" -> (T +
+      """SELECT conv_id, turn_idx, upper(text) AS shout,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words,
+        |  CASE role WHEN 'user' THEN 'U' WHEN 'assistant' THEN 'A' ELSE 'T' END AS role_tag
+        |FROM transcripts""".stripMargin),
+    "q_bloblang_compiled" -> (T +
       """SELECT conv_id, turn_idx, upper(text) AS shout,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words,
         |  CASE role WHEN 'user' THEN 'U' WHEN 'assistant' THEN 'A' ELSE 'T' END AS role_tag

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.blob.{Bloblang, BloblangCompiler}
+
+/** The Bloblang → Catalyst translator against the interpreter: the same
+  * program text must produce identical values on both paths, and the
+  * compiled path must be UDF-free (native Column expressions inside
+  * whole-stage codegen).
+  */
+class BloblangCompilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val M = new ObjectMapper()
+
+  private val rows = Seq(
+    ("Hello, World", 7L, 2.5, true),
+    ("  padded text here  ", -3L, 4.0, false),
+    ("a,b,,c", 0L, -1.25, true),
+    ("user", 42L, 9.0, false))
+  private def df = rows.toDF("s", "n", "d", "b")
+
+  /** Run program on both paths; compare every assigned field per row. */
+  private def assertEquivalent(program: String): Unit = {
+    val base = df
+    val stage = BloblangCompiler.stage(program, base.schema)
+      .getOrElse(fail(s"program did not compile to columns:\n$program"))
+    val compiledRows = stage(base).collect()
+    val names = stage(base).schema.fieldNames.drop(base.schema.length)
+    val ex = Bloblang.compile(program)
+    base.select(to_json(struct(col("s"), col("n"), col("d"), col("b"))).as("j"))
+      .as[String].collect().zip(compiledRows).foreach { case (json, crow) =>
+        val r = ex.mapText(json)
+        assert(r.error.isEmpty, s"interpreter errored: ${r.error}")
+        val interp = M.readTree(r.text.get)
+        names.foreach { f =>
+          val iv = interp.get(f)
+          val cv = crow.getAs[Any](f)
+          val ok = (iv, cv) match {
+            case (n1, c: Long) if n1.isNumber => n1.asLong() == c
+            case (n1, c: Double) if n1.isNumber => math.abs(n1.asDouble() - c) < 1e-12
+            case (n1, c: String) if n1.isTextual => n1.asText() == c
+            case (n1, c: Boolean) => n1.asBoolean() == c
+            case (n1, null) => n1 == null || n1.isNull
+            case _ => false
+          }
+          assert(ok, s"field $f: interpreter=$iv compiled=$cv (input $json)")
+        }
+      }
+  }
+
+  test("string methods chain identically") {
+    assertEquivalent(
+      """root.up = this.s.uppercase()
+        |root.lo = this.s.lowercase()
+        |root.t = this.s.trim()
+        |root.len = this.s.length()
+        |root.has = this.s.contains("e")
+        |root.pre = this.s.has_prefix("H")""".stripMargin)
+  }
+
+  test("split/join/array length identically (trailing empties kept)") {
+    assertEquivalent(
+      """root.parts = this.s.split(",").length()
+        |root.j = this.s.split(",").join("|")""".stripMargin)
+  }
+
+  test("arithmetic, comparisons, boolean ops identically") {
+    assertEquivalent(
+      """root.sum = this.n + 10
+        |root.mix = this.n + this.d
+        |root.div = this.n / 4
+        |root.mod = this.n % 5
+        |root.neg = -this.n
+        |root.cmp = this.n > 5
+        |root.both = (this.n > 5) && this.b
+        |root.abs = this.n.abs()
+        |root.fl = this.d.floor()
+        |root.ce = this.d.ceil()""".stripMargin)
+  }
+
+  test("if/else and match compile to when-chains with identical results") {
+    assertEquivalent(
+      """root.band = if this.n > 10 { "big" } else if this.n > 0 { "small" } else { "neg" }
+        |root.tag = match this.s { "user" => "U", _ => "other" }
+        |root.pred = match { this.n > 10 => "big", _ => "rest" }""".stripMargin)
+  }
+
+  test("regex and concat identically; let bindings inline") {
+    assertEquivalent(
+      """let shout = this.s.uppercase()
+        |root.re = this.s.re_replace_all("[aeiou]", "_")
+        |root.m = this.s.re_match("[0-9]")
+        |root.cat = $shout + "#" + this.n.string()""".stripMargin)
+  }
+
+  test("out-of-subset programs bail to the interpreter (None)") {
+    val schema = df.schema
+    for (p <- Seq(
+        "root = this", // structural root
+        "root.a.b = 1", // nested path
+        """root.x = this.s | "d"""", // error-flow pipe
+        """root.x = this.s.number(0)""", // parse semantics
+        """root.x = if this.b { 1 }""", // Nothing-producing
+        """root.x = this.missing""", // unknown column
+        """root.s = "collides"""", // shadows an input column
+        """meta k = "v"""")) // meta write
+      assert(BloblangCompiler.tryCompile(p, schema).isEmpty, s"should bail: $p")
+  }
+
+  test("compiled plan is UDF-free; interpreted plan is not") {
+    val program = """root.up = this.s.uppercase()
+                    |root.tag = match this.s { "user" => "U", _ => "o" }""".stripMargin
+    val compiled = BloblangCompiler.stage(program, df.schema).get(df)
+    val cplan = compiled.queryExecution.executedPlan.toString
+    assert(!cplan.contains("UDF"), s"compiled plan must be native:\n$cplan")
+    val interp = Bloblang.procStage(program, Map.empty)(
+      df.select(to_json(struct(col("s"))).as("text"),
+        map[String, String]().as("meta"), lit(null).cast("string").as("error")))
+    // analyzed plan: ConvertToLocalRelation folds the UDF over this local
+    // relation at optimize time, so the executed plan is just a scan
+    assert(interp.queryExecution.analyzed.toString.contains("UDF"))
+  }
+
+  private def map[K, V](): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.map()
+}
