@@ -79,6 +79,32 @@ object MicroBench {
     time("cosine_i8 native") {
       qvecs.select(sum(expr("graft_cosine_i8(q, reverse(q))"))).head().getDouble(0).toLong
     }
+    // the Bloblang text engine: the interpreted JSON-frame UDF vs the
+    // Catalyst-compiled typed subset (BloblangCompiler) — identical
+    // program text; the JSON doc is pre-materialized so the delta is
+    // engine cost, not to_json
+    val blProgram =
+      """root.shout = this.text.uppercase()
+        |root.n_words = this.text.split(" ").length()
+        |root.tag = match this.role { "user" => "U", _ => "T" }""".stripMargin
+    val frames = texts
+      .selectExpr("id", "text",
+        "CASE WHEN id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role")
+      .withColumn("doc", to_json(struct(col("text"), col("role"))))
+      .cache()
+    frames.count()
+    time("bloblang interpreted (2M)") {
+      val run = graft.blob.Bloblang.procColumn(blProgram, Map.empty)
+      // project first: the interpreter UDF is nondeterministic (env reads)
+      // and may not appear directly inside an aggregate
+      frames.select(length(run(col("doc")).getField("content")).as("l"))
+        .agg(sum("l")).head().getLong(0)
+    }
+    time("bloblang compiled (2M)") {
+      val stage = graft.blob.BloblangCompiler.stage(blProgram, frames.schema).get
+      stage(frames).select(sum(length(col("shout")) + col("n_words")))
+        .head().getLong(0)
+    }
     // training-prep ops at corpus scale: the sampler must run at scan
     // speed (pure integer column math, zero shuffles) and packing at
     // one-shuffle window speed across 2M docs / 128 shards
