@@ -69,7 +69,7 @@ object Bloblang {
   private[blob] sealed trait Stmt extends Serializable { def line: Int }
   private[blob] case class Assign(path: Vector[String], e: Expr, line: Int) extends Stmt // empty = root
   private[blob] case class LetStmt(name: String, e: Expr, line: Int) extends Stmt
-  private[blob] case class MetaStmt(key: String, e: Expr, line: Int) extends Stmt
+  private[blob] case class MetaStmt(key: Option[String], e: Expr, line: Int) extends Stmt // None = whole-metadata assignment
   private[blob] case class MapDef(name: String, stmts: Vector[Stmt], line: Int) extends Stmt
 
   // ------------------------------------------------------------- lexer --
@@ -177,12 +177,15 @@ object Bloblang {
             case TIdent(s) => s; case TStr(s) => s; case t => fail(s"let: expected name, got $t")
           }
           expect("="); LetStmt(name, expr(), ln)
-        case TIdent("meta") if peek2 != TPunc("(") && peek2 != TPunc("=") =>
+        case TIdent("meta") if peek2 == TPunc("=") =>
+          // `meta = deleted()` clears all metadata; `meta = {...}` replaces it
+          next(); expect("="); MetaStmt(None, expr(), ln)
+        case TIdent("meta") if peek2 != TPunc("(") =>
           next()
           val key = next() match {
             case TIdent(s) => s; case TStr(s) => s; case t => fail(s"meta: expected key, got $t")
           }
-          expect("="); MetaStmt(key, expr(), ln)
+          expect("="); MetaStmt(Some(key), expr(), ln)
         case TIdent("map") if peek2.isInstanceOf[TIdent] || peek2.isInstanceOf[TStr] =>
           next()
           val name = next() match { case TIdent(s) => s; case TStr(s) => s; case t => fail(s"$t") }
@@ -410,7 +413,11 @@ object Bloblang {
       val envFn: String => Option[String],
       val maps: Map[String, Vector[Stmt]],
       var depth: Int,
-      val errorMsg: String) // incoming error flag (the reference's error())
+      val errorMsg: String) { // incoming error flag (the reference's error())
+    // lambda params currently in scope: the only names resolvable naked —
+    // `let` bindings require `$name` (naked idents are this-paths)
+    val lamNames: mutable.Set[String] = mutable.Set.empty
+  }
 
   private case object LazyThis
 
@@ -423,7 +430,7 @@ object Bloblang {
     case Lit(v) => v
     case ThisRef => ctxValue(env)
     case NameRef(name) =>
-      if (env.vars.contains(name)) env.vars(name)
+      if (env.lamNames.contains(name) && env.vars.contains(name)) env.vars(name)
       else fieldOf(ctxValue(env), name)
     case VarRef(name) =>
       env.vars.getOrElse(name, fail(s"variable $$${name} is not defined"))
@@ -596,7 +603,10 @@ object Bloblang {
     case l: Long => b.append(l)
     case i: Int => b.append(i)
     case d: Double =>
-      if (d.isWhole && math.abs(d) < (1L << 53)) b.append(d.toLong)
+      // Go's json.Marshal rejects non-finite floats — the mapping errors
+      // rather than emitting invalid JSON (encoding/json: unsupported value)
+      if (d.isNaN || d.isInfinite) fail(s"unable to marshal JSON: unsupported value: $d")
+      else if (d.isWhole && math.abs(d) < (1L << 53)) b.append(d.toLong)
       else b.append(d)
     case bl: Boolean => b.append(bl)
     case a: Vector[_] =>
@@ -687,11 +697,16 @@ object Bloblang {
     try fn match {
       case Lambda(param, body) =>
         val had = env.vars.get(param)
+        val wasLam = env.lamNames.contains(param)
         env.vars(param) = elem
+        env.lamNames += param
         try eval(body, env)
-        finally had match {
-          case Some(v) => env.vars(param) = v
-          case None => env.vars.remove(param)
+        finally {
+          had match {
+            case Some(v) => env.vars(param) = v
+            case None => env.vars.remove(param): Unit
+          }
+          if (!wasLam) env.lamNames -= param
         }
       case q => eval(q, env)
     } finally env.ctx = saved
@@ -729,11 +744,16 @@ object Bloblang {
             // with the surrounding context untouched (no doc force)
             case Lambda(p, body) =>
               val had = env.vars.get(p)
+              val wasLam = env.lamNames.contains(p)
               env.vars(p) = err.getMessage
+              env.lamNames += p
               try eval(body, env)
-              finally had match {
-                case Some(v) => env.vars(p) = v
-                case None => env.vars.remove(p): Unit
+              finally {
+                had match {
+                  case Some(v) => env.vars(p) = v
+                  case None => env.vars.remove(p): Unit
+                }
+                if (!wasLam) env.lamNames -= p
               }
             case q => eval(q, env)
           }
@@ -1139,9 +1159,14 @@ object Bloblang {
             try execStmt(st, env, newValue)
             catch {
               // the reference's per-statement error shape, asserted verbatim
-              // by the corpus (executor.go:178-191)
+              // by the corpus (executor.go:178-191); any runtime failure
+              // (bad regex, arity, numeric parse) must become the per-message
+              // error flag, never a task-killing exception
               case e: BloblangError =>
                 throw new BloblangError(s"failed assignment (line ${st.line}): ${e.getMessage}")
+              case scala.util.control.NonFatal(e) =>
+                throw new BloblangError(
+                  s"failed assignment (line ${st.line}): ${e.getClass.getSimpleName}: ${e.getMessage}")
             }
         }
         newValue match {
@@ -1155,7 +1180,11 @@ object Bloblang {
               meta.toMap, None)
         }
       } catch {
-        case e: BloblangError => Result(Some(content), meta.toMap, Some(e.getMessage))
+        // failed mapping: the ORIGINAL part flows on — content AND metadata
+        // unchanged (half-applied meta writes must not leak), error flagged
+        case e: BloblangError => Result(Some(content), meta0, Some(e.getMessage))
+        case scala.util.control.NonFatal(e) =>
+          Result(Some(content), meta0, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
     }
 
@@ -1183,11 +1212,23 @@ object Bloblang {
       val v = eval(e, env)
       if (v != VNothing) env.vars(name) = v
       root
-    case MetaStmt(key, e, _) =>
+    case MetaStmt(Some(key), e, _) =>
       eval(e, env) match {
         case VNothing => ()
         case VDelete => env.meta.remove(key): Unit
         case v => env.meta(key) = goString(v)
+      }
+      root
+    case MetaStmt(None, e, _) =>
+      // whole-metadata assignment (mapping.go meta root): deleted() clears,
+      // an object replaces every entry, anything else is a mapping error
+      eval(e, env) match {
+        case VNothing => ()
+        case VDelete => env.meta.clear()
+        case m: Map[_, _] =>
+          env.meta.clear()
+          m.asInstanceOf[Map[String, Any]].foreach { case (k, v) => env.meta(k) = goString(v) }
+        case v => fail(s"setting root meta requires object value, got ${typeName(v)}")
       }
       root
     case Assign(path, e, _) =>

@@ -231,8 +231,15 @@ object BloblangCompiler {
       case ("contains", TArrStrT) =>
         if (args.length != 1 || args(0).t != TStrT) bail()
         Typed(array_contains(t.col, args(0).col), TBoolT)
-      case ("has_prefix", TStrT) => Typed(t.col.startsWith(args(0).col), TBoolT)
-      case ("has_suffix", TStrT) => Typed(t.col.endsWith(args(0).col), TBoolT)
+      case ("has_prefix", TStrT) =>
+        // arg must be string-typed: a double arg would be implicitly cast by
+        // Catalyst ("1.5E7") but goString-formatted by the interpreter
+        // ("15000000") — same divergence `contains` guards against
+        if (args.length != 1 || args(0).t != TStrT) bail()
+        Typed(t.col.startsWith(args(0).col), TBoolT)
+      case ("has_suffix", TStrT) =>
+        if (args.length != 1 || args(0).t != TStrT) bail()
+        Typed(t.col.endsWith(args(0).col), TBoolT)
       case ("split", TStrT) =>
         raw(0) match {
           // Go strings.Split keeps trailing empties → limit -1

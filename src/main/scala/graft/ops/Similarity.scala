@@ -344,6 +344,7 @@ object Similarity {
       query: Seq[Float], k: Int, nCells: Int = 16, nProbe: Int = 4,
       iters: Int = 3,
       centroids: Option[Seq[(Int, Seq[Float])]] = None): DataFrame = {
+    graft.functions.GraftExtensions.ensure(df.sparkSession) // model-reuse path skips kmeansCentroids' ensure
     val named = df.select(idCol.as("id"), emb.as("emb"))
     val cembs = centroids.getOrElse(kmeansCentroids(df, idCol, emb, nCells, iters))
     ivfProbe(named, cembs, query, nProbe)

@@ -179,9 +179,13 @@ object GroupQueries {
         |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS doc_idx,
         |  role, turn_idx, text FROM transcripts""".stripMargin),
     "q_unarchive_csv" -> (T +
+      // the csv codec collapses CRLF to LF even inside quoted fields (Go
+      // encoding/csv reader semantics) — the oracle states that collapse
+      // explicitly so the contract holds for CRLF-bearing text too
       """SELECT conv_id,
         |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS row_idx,
-        |  CAST(turn_idx AS VARCHAR) AS turn_val, role, text FROM transcripts""".stripMargin),
+        |  CAST(turn_idx AS VARCHAR) AS turn_val, role,
+        |  replace(text, chr(13) || chr(10), chr(10)) AS text FROM transcripts""".stripMargin),
     "q_select_parts" -> (T +
       """SELECT conv_id, turn_idx, role FROM (
         |  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS idx,

@@ -225,10 +225,16 @@ object ConfigRunner {
   /** Route-by-flag application: the reference's try skips failed messages,
     * catch selects only them (processor.go error routing).
     */
-  private def guarded(stage: DataFrame => DataFrame, onErrored: Boolean)(df: DataFrame): DataFrame = {
+  private[graft] def guarded(stage: DataFrame => DataFrame, onErrored: Boolean)(df: DataFrame): DataFrame = {
+    // The input is referenced twice (routed branch ∪ untouched branch), so
+    // folding this over a try/catch block's children would double the
+    // logical plan per child — 2^k source copies at k processors.
+    // localCheckpoint truncates each level to a leaf, keeping the plan
+    // linear (eager, but the runner's test batches are a handful of rows).
+    val in = df.localCheckpoint()
     val cond = if (onErrored) col("error").isNotNull else col("error").isNull
     val miss = if (onErrored) col("error").isNull else col("error").isNotNull
-    stage(df.filter(cond)).unionByName(df.filter(miss))
+    stage(in.filter(cond)).unionByName(in.filter(miss))
   }
 
   private def protoFileSet(conf: JsonNode, baseDir: Path): Proto.FileSet = {
@@ -238,8 +244,11 @@ object ConfigRunner {
       val dir =
         if (Files.isDirectory(local)) local
         else Paths.get("/root/reference").resolve(d) // reference-root-relative paths
-      Files.list(dir).iterator().asScala.toVector
-        .filter(_.toString.endsWith(".proto"))
+      val listing = Files.list(dir)
+      val paths =
+        try listing.iterator().asScala.toVector
+        finally listing.close() // Files.list holds an open DirectoryStream
+      paths.filter(_.toString.endsWith(".proto"))
         .sortBy(_.toString)
         .map(Files.readString(_))
     }

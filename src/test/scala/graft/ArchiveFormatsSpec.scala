@@ -106,6 +106,11 @@ class ArchiveFormatsSpec extends SparkTestBase {
     // empty blob → zero parts (EOF before the header row)
     assert(Seq("").toDF("blob")
       .select(size(GroupOps.unarchiveCsv(col("blob")))).as[Int].head() == 0)
+    // CRLF collapses to LF even INSIDE quoted fields (Go encoding/csv
+    // reader semantics) — the q_unarchive_csv oracle states this collapse
+    assert(Seq("h\n\"a\r\nb\"\n").toDF("blob")
+      .select(posexplode(GroupOps.unarchiveCsv(col("blob"))))
+      .select(col("col")("h")).as[String].head() == "a\nb")
   }
 
   test("every compress algorithm round-trips; zlib/gzip carry their magic") {

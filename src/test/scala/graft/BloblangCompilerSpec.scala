@@ -105,6 +105,8 @@ class BloblangCompilerSpec extends SparkTestBase {
         """root.x = if this.b { 1 }""", // Nothing-producing
         """root.x = this.missing""", // unknown column
         """root.s = "collides"""", // shadows an input column
+        """root.x = this.s.has_prefix(this.d)""", // double arg: Catalyst cast != goString
+        """root.x = this.s.has_suffix(this.d)""",
         """meta k = "v"""")) // meta write
       assert(BloblangCompiler.tryCompile(p, schema).isEmpty, s"should bail: $p")
   }

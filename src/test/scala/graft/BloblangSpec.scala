@@ -308,4 +308,48 @@ class BloblangSpec extends AnyFunSuite {
     assert(Bloblang.compile("root = [1,2,3,4].slice(1, 3)").mapText("{}").text.get == "[2,3]")
     assert(Bloblang.compile("root = [1,2,3].index(-1)").mapText("{}").text.get == "3")
   }
+
+  // ---- per-message error contract hardening (round-3 review) ------------
+  test("runtime exceptions inside a statement become the error flag, not a task failure") {
+    // invalid regex compiles per-row: must flag the message, never escape the UDF
+    val r = run("""root.x = this.s.re_match("[")""", """{"s":"a"}""")
+    assert(r.error.exists(_.startsWith("failed assignment (line 1)")))
+    assert(r.text.get == """{"s":"a"}""") // content unchanged
+    // missing method argument
+    assert(run("""root.x = "a".replace_all("x")""", "{}").error.isDefined)
+    // empty-array reduce
+    assert(run("root.x = [].min()", "{}").error.isDefined)
+  }
+
+  test("failed mapping keeps the ORIGINAL metadata — earlier meta writes do not leak") {
+    val r = run("meta topic = \"x\"\nroot.y = this.n.number()",
+      """{"n":"not a number"}""", meta = Map("keep" -> "1"))
+    assert(r.error.isDefined)
+    assert(r.meta == Map("keep" -> "1")) // no half-applied topic=x
+  }
+
+  test("meta = deleted() clears all metadata; meta = {obj} replaces it") {
+    val cleared = run("meta = deleted()", "{}", meta = Map("a" -> "1", "b" -> "2"))
+    assert(cleared.error.isEmpty && cleared.meta == Map.empty)
+    val replaced = run("""meta = {"only":"this"}""", "{}", meta = Map("a" -> "1"))
+    assert(replaced.error.isEmpty && replaced.meta == Map("only" -> "this"))
+    val bad = run("meta = 5", "{}", meta = Map("a" -> "1"))
+    assert(bad.error.exists(_.contains("setting root meta")))
+    assert(bad.meta == Map("a" -> "1"))
+  }
+
+  test("naked identifiers are this-paths — a let does not shadow a field") {
+    // variables require $: `let role` must not capture the naked field read
+    val r = run("let role = \"admin\"\nroot.r = role\nroot.v = $role",
+      """{"role":"user"}""")
+    jsonEq(r.text.get, """{"r":"user","v":"admin"}""")
+    // lambda params stay naked-resolvable
+    jsonEq(run("root = this.xs.map_each(x -> x + 1)", """{"xs":[1,2]}""").text.get, "[2,3]")
+  }
+
+  test("non-finite floats error the mapping instead of emitting invalid JSON") {
+    val r = run("root.x = 1.0 / 0", "{}")
+    assert(r.error.exists(_.contains("unsupported value")))
+    assert(r.text.get == "{}")
+  }
 }

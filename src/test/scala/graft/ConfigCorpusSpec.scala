@@ -88,4 +88,18 @@ class ConfigCorpusSpec extends SparkTestBase {
 
   test("cookbooks/filtering_benthos_test.yaml: meta/doc/urls filter")(
     runAll("cookbooks/filtering_benthos_test.yaml"))
+
+  test("guarded try/catch routing keeps the plan linear in child count") {
+    // each guarded wrap references its input twice (routed ∪ untouched);
+    // without plan truncation a 12-child try block is 2^12 source copies
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1, null: String), (100, "boom")).toDF("v", "error")
+    val out = (1 to 12).foldLeft(base)((d, _) =>
+      ConfigRunner.guarded(df => df.withColumn("v", col("v") + 1), onErrored = false)(d))
+    val plan = out.queryExecution.optimizedPlan.numberedTreeString
+    assert(plan.linesIterator.size < 100, s"plan blew up (${plan.linesIterator.size} lines)")
+    val rows = out.collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((13, None), (100, Some("boom")))) // errored row untouched
+  }
 }
