@@ -98,6 +98,8 @@ object MsgPack {
   def decode(bytes: Array[Byte]): JsonNode = {
     val r = new Reader(bytes)
     val n = r.next()
+    if (!r.done)
+      throw new IllegalArgumentException("trailing bytes after msgpack value")
     n
   }
 
@@ -105,15 +107,27 @@ object MsgPack {
     private var pos = 0
     private val f = JsonNodeFactory.instance
 
-    private def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    // truncated/corrupt input must ERROR: Arrays.copyOfRange zero-pads past
+    // the array end, which would silently decode NUL-padded strings (the
+    // same hazard Proto.WireReader guards against)
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > b.length)
+        throw new IllegalArgumentException(
+          s"truncated msgpack input: need $n bytes at offset $pos of ${b.length}")
+
+    private def u8(): Int = { need(1); val v = b(pos) & 0xff; pos += 1; v }
     private def beUnsigned(n: Int): Long = {
+      need(n)
       var v = 0L; var i = 0
       while (i < n) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
       pos += n; v
     }
     private def take(n: Int): Array[Byte] = {
+      need(n)
       val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
     }
+
+    def done: Boolean = pos == b.length
 
     def next(): JsonNode = {
       val t = u8()
@@ -139,7 +153,7 @@ object MsgPack {
           if (v >= 0) f.numberNode(v)
           else f.numberNode(java.math.BigInteger.valueOf(v & Long.MaxValue)
             .setBit(63)) // uint64 above Long.MaxValue
-        case 0xd0 => f.numberNode(b({ val p = pos; pos += 1; p }).toLong)
+        case 0xd0 => f.numberNode(u8().toByte.toLong)
         case 0xd1 => f.numberNode(beUnsigned(2).toShort.toLong)
         case 0xd2 => f.numberNode(beUnsigned(4).toInt.toLong)
         case 0xd3 => f.numberNode(beUnsigned(8))
@@ -170,7 +184,9 @@ object MsgPack {
       var i = 0
       while (i < n) {
         val k = next()
-        val key = if (k.isTextual) k.asText() else k.asText() // stringify scalar keys
+        if (k.isContainerNode)
+          throw new IllegalArgumentException("msgpack map key is not JSON-representable")
+        val key = k.asText() // scalar keys stringify (numbers, bools)
         o.set(key, next())
         i += 1
       }
@@ -180,13 +196,16 @@ object MsgPack {
 
   // ---------------------------------------------------------- Column API
 
+  // one thread-safe mapper shared across rows (not one per row)
+  private val mapper = new ObjectMapper()
+
   /** format_msgpack (bloblang.go): JSON text → MessagePack bytes. UDF —
     * genuinely built-in-less.
     */
   val formatMsgpack: Column => Column = {
     val u = udf((json: String) =>
       if (json == null) null
-      else encode(new ObjectMapper().readTree(json)))
+      else encode(mapper.readTree(json)))
     c => u(c)
   }
 
@@ -194,7 +213,7 @@ object MsgPack {
   val parseMsgpack: Column => Column = {
     val u = udf((bytes: Array[Byte]) =>
       if (bytes == null) null
-      else new ObjectMapper().writeValueAsString(decode(bytes)))
+      else mapper.writeValueAsString(decode(bytes)))
     c => u(c)
   }
 }

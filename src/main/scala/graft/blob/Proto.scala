@@ -254,7 +254,10 @@ object Proto {
       }.getOrElse(throw new IllegalArgumentException(s"unresolved type '$ref' in $scope"))
     }
     val msgs = fs.messages.map { case (fq, m) =>
-      val scope = fq.split('.').dropRight(1).mkString(".")
+      // fields resolve against the DECLARING MESSAGE's scope (the message is
+      // itself a scope: `message M { message Inner {...} Inner x = 1; }`),
+      // then outwards — not just the parent package
+      val scope = fq
       fq -> m.copy(fields = m.fields.map { f =>
         f.tpe match {
           case TMessage(ref) if !fs.messages.contains(ref) || !ref.contains(".") =>

@@ -186,20 +186,29 @@ object Awk {
       cmd += "-f"; cmd += progFile.getAbsolutePath
       val p = new ProcessBuilder(cmd.result(): _*).start()
       val errBuf = new java.io.ByteArrayOutputStream()
+      val outBuf = new java.io.ByteArrayOutputStream()
       val drain = new Thread(() => {
         try p.getErrorStream.transferTo(errBuf) catch { case _: Throwable => () }
       })
       drain.setDaemon(true); drain.start()
+      // stdout must drain CONCURRENTLY with the stdin write: a message
+      // larger than the combined pipe buffers (~128 KB) with an echoing
+      // program would otherwise deadlock — parent blocked writing stdin,
+      // awk blocked writing unread stdout
+      val outDrain = new Thread(() => {
+        try p.getInputStream.transferTo(outBuf) catch { case _: Throwable => () }
+      })
+      outDrain.setDaemon(true); outDrain.start()
       // A program that never touches its input (mawk exits immediately on
       // `{ }`) can close stdin before we write — that's fine, not an error.
       try {
         p.getOutputStream.write(stdin.getBytes(UTF_8))
         p.getOutputStream.close()
       } catch { case _: java.io.IOException => () }
-      val out = new String(p.getInputStream.readAllBytes(), UTF_8)
       val exit = p.waitFor()
+      outDrain.join(1000)
       drain.join(1000)
-      (exit, out, new String(errBuf.toByteArray, UTF_8))
+      (exit, new String(outBuf.toByteArray, UTF_8), new String(errBuf.toByteArray, UTF_8))
     } finally progFile.delete()
   }
 }

@@ -93,15 +93,17 @@ object Cep {
       .toDF()
   }
 
-  private def processCep(pattern: String, gapSeconds: Long)(
-      convId: String,
-      incoming: Iterator[Turn],
-      state: GroupState[List[CepTurn]]): Iterator[Episode] = {
+  private def processCep(pattern: String, gapSeconds: Long): (
+      String, Iterator[Turn], GroupState[List[CepTurn]]) => Iterator[Episode] = {
+    // compile ONCE per query and ship the compiled regex in the closure —
+    // inline `pattern.r` would recompile per conversation flush per batch
+    val rx = pattern.r
+    (convId: String, incoming: Iterator[Turn], state: GroupState[List[CepTurn]]) => {
     def matchEpisodes(conv: String, buf: List[CepTurn]): List[Episode] =
       if (buf.isEmpty) Nil
       else {
         val roles = buf.sortBy(_.turn_idx).iterator.map(_.rc).mkString
-        pattern.r.findAllIn(roles).toList.zipWithIndex.map { case (e, i) =>
+        rx.findAllIn(roles).toList.zipWithIndex.map { case (e, i) =>
           Episode(conv, i, e, e.length)
         }
       }
@@ -126,6 +128,7 @@ object Cep {
         state.setTimeoutTimestamp(math.max(maxTs + gapSeconds * 1000L + 1L, wm + 1L))
         Iterator.empty
       }
+    }
     }
   }
 }

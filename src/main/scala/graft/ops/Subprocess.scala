@@ -188,7 +188,7 @@ object Subprocess {
     def scan(in: InputStream, codec: String, maxBuf: Int)(emit: Array[Byte] => Unit): Unit =
       codec match {
         case "lines" => scanLines(in, maxBuf)(emit)
-        case "length_prefixed_uint32_be" => scanLenPrefixed(in)(emit)
+        case "length_prefixed_uint32_be" => scanLenPrefixed(in, maxBuf)(emit)
         case "netstring" => scanNetstring(in, maxBuf)(emit)
       }
 
@@ -219,16 +219,21 @@ object Subprocess {
       out
     }
 
-    private def scanLenPrefixed(in: InputStream)(emit: Array[Byte] => Unit): Unit = {
+    private def scanLenPrefixed(in: InputStream, maxBuf: Int)(emit: Array[Byte] => Unit): Unit = {
       var eof = false
       while (!eof) {
         val b0 = in.read()
         if (b0 < 0) eof = true
         else {
           val pre = readN(in, 3)
-          val len = ((b0 & 0xff) << 24) | ((pre(0) & 0xff) << 16) |
-            ((pre(1) & 0xff) << 8) | (pre(2) & 0xff)
-          emit(readN(in, len))
+          // u32 BE can exceed Int.MaxValue (negative after the shift) and a
+          // corrupt child can claim gigabytes — both must error like the
+          // other codecs, not allocate or kill the pump thread
+          val len = ((b0 & 0xffL) << 24) | ((pre(0) & 0xffL) << 16) |
+            ((pre(1) & 0xffL) << 8) | (pre(2) & 0xffL)
+          if (len > maxBuf) throw new IllegalStateException(
+            s"length-prefixed frame of $len bytes exceeds max_buffer")
+          emit(readN(in, len.toInt))
         }
       }
     }

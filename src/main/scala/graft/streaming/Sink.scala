@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
@@ -51,13 +51,21 @@ object Sink {
       .withColumn("_partition_id", spark_partition_id())
       .write
       .parquet(s"$outDir/data/$attemptDir") // no leading '_': Spark hides such dirs
-    try Files.write(marker, attemptDir.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
-    catch {
+    // the marker must appear ATOMICALLY with its content: CREATE_NEW + write
+    // leaves a window where a reader lists an empty manifest and resolves it
+    // to the legacy b<id> directory that doesn't exist under this layout.
+    // Write a hidden temp file, then hard-link it to the marker name — link
+    // is atomic and fails if the marker exists (the concurrent-attempt race).
+    val tmp = Files.createTempFile(commitDir, s".tmp$batchId-", "")
+    try {
+      Files.write(tmp, attemptDir.getBytes("UTF-8"))
+      Files.createLink(marker, tmp)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // lost a concurrent-attempt race: the other attempt's manifest is
         // the committed truth — remove this attempt's files
         deleteRecursively(Paths.get(outDir, "data", attemptDir))
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -90,7 +98,10 @@ object Sink {
       else {
         val s = Files.list(commitDir)
         try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-          .asScala.map { p =>
+          .asScala
+          // only all-digit names are manifests (skip in-flight .tmp files)
+          .filter(p => p.getFileName.toString.forall(_.isDigit))
+          .map { p =>
             val id = p.getFileName.toString.toLong
             val named = new String(Files.readAllBytes(p), "UTF-8").trim
             id -> (if (named.isEmpty) s"b$id" else named)

@@ -253,4 +253,13 @@ class AwkSpec extends SparkTestBase {
       """{ print timestamp_unix_nano("1970-01-01T00:00:01.500", "2006-01-02T15:04:05.000") }""",
       "none") == (("1500000000", null)))
   }
+
+  test("messages larger than the pipe buffers round-trip (stdout drains concurrently)") {
+    // ~300 KB through an echoing program: without a concurrent stdout drain
+    // the parent blocks writing stdin while awk blocks writing unread stdout
+    val big = (("x" * 99) + "\n") * 3000
+    val (text, err) = one(big, "{ print }", "text")
+    assert(err == null)
+    assert(text == big.stripSuffix("\n"))
+  }
 }

@@ -299,4 +299,19 @@ class ProtoSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[Exception](Proto.decodeMessage(fs2, "t.M", out.toByteArray))
     assert(e.getMessage.contains("overruns"), e.getMessage)
   }
+
+  test("a field resolves a type nested in its OWN message by simple name") {
+    // the declaring message is itself a scope: resolution must try
+    // t.M.Inner before t.Inner / Inner
+    val fs2 = Proto.compile(Seq(
+      """syntax = "proto3";
+        |package t;
+        |message M {
+        |  message Inner { int32 a = 1; }
+        |  Inner x = 1;
+        |}""".stripMargin))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val wire = Proto.encodeMessage(fs2, "t.M", m.readTree("""{"x":{"a":7}}"""))
+    assert(m.writeValueAsString(Proto.decodeMessage(fs2, "t.M", wire)) == """{"x":{"a":7}}""")
+  }
 }

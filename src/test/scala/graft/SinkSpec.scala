@@ -52,6 +52,10 @@ class SinkSpec extends SparkTestBase {
     // the re-attempt completes: exactly the committed rows appear
     Sink.writeBatchIdempotent(out)(Seq(7, 7).toDF("v"), 7L)
     assert(Sink.readCommitted(spark, out).count() == 3)
+    // an in-flight manifest temp file (the pre-link write) is not a commit:
+    // readers skip non-numeric names instead of failing on them
+    Files.write(Paths.get(out, "_commits", ".tmp9-inflight"), "b9-cccc2222".getBytes)
+    assert(Sink.readCommitted(spark, out).count() == 3)
   }
 
   test("concurrent attempts of one batch: one commits, the loser cleans up") {
