@@ -17,7 +17,11 @@ object IntegrationQueries {
     // every turn's text through one awk per partition; stdout replaces the
     // message. awk's toupper over ASCII matches DuckDB's upper exactly.
     "q_subprocess" -> ((s, dir) => {
+      // one long-lived child per partition; the per-row round-trip is
+      // synchronous, so node width (not the scan's file count) must set the
+      // parallelism — same shape as q_http_enrich below
       val df = Tables.transcripts(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
       Subprocess.pipe(df, Seq("awk", "-W", "interactive", "{ print toupper($0); fflush(); }"))
         .select(col("conv_id"), col("turn_idx"), col("text").as("text_up"),
           col(Errors.ErrCol).as("err"))
@@ -108,6 +112,30 @@ object IntegrationQueries {
         length(wire).as("wire_len"))
     }),
 
+    // schema_registry_encode → schema_registry_decode round trip
+    // (internal/impl/confluent/): every turn marshals to standard JSON,
+    // encodes to confluent-framed Avro under the registry's latest "turns"
+    // schema, and decodes back to Avro JSON (union-wrapped `tool`). The
+    // oracle recomputes the decoded fields AND the wire length from the
+    // Avro 1.11 binary spec arithmetic (5-byte frame + varint-length
+    // strings + zigzag-varint long + 1-byte union indexes). The registry is
+    // a JVM-lifetime loopback service; schemas are fetched once per
+    // executor, so rows never wait on the network.
+    "q_schema_registry" -> ((s, dir) => {
+      import graft.ops.SchemaRegistry
+      val url = SchemaRegistry.turnsRegistryUrl
+      val df = Tables.transcripts(s, dir)
+        .withColumn("doc", to_json(struct(
+          col("conv_id"), col("turn_idx"), col("role"), col("tool"))))
+      val enc = SchemaRegistry.encodeProc(df, url, "turns", jsonCol = "doc")
+      val dec = SchemaRegistry.decodeProc(enc, url)
+      dec.select(col("conv_id"), col("turn_idx"),
+        get_json_object(col("decoded"), "$.role").as("rt_role"),
+        get_json_object(col("decoded"), "$.tool.string").as("rt_tool"),
+        length(col("wire")).as("wire_len"),
+        col(Errors.ErrCol).as("err"))
+    }),
+
     // awk processor, json codec (internal/old/processor/awk.go:792-801):
     // the document flattens into AWK variables; the program's stdout
     // replaces it. One interpreter per message by construction — fork cost
@@ -155,6 +183,20 @@ object IntegrationQueries {
         |  CAST(4 + length(conv_id) + length(role) +
         |    CASE WHEN turn_idx = 0 THEN 0
         |         WHEN turn_idx < 128 THEN 2 ELSE 3 END AS INT) AS wire_len
+        |FROM transcripts""".stripMargin),
+    // wire_len: 5 (magic + schema id) + conv_id (1-byte varint len + bytes)
+    // + turn_idx (zigzag varint: 2*ti < 2^7 → 1B, < 2^14 → 2B, else 3B)
+    // + role (1-byte len + bytes) + tool union index (1B) + optional
+    // (1-byte len + bytes). All strings are ASCII so chars == octets.
+    "q_schema_registry" -> (T +
+      """SELECT conv_id, turn_idx, role AS rt_role, tool AS rt_tool,
+        |  CAST(5 + 1 + length(conv_id)
+        |    + (CASE WHEN turn_idx < 64 THEN 1
+        |            WHEN turn_idx < 8192 THEN 2 ELSE 3 END)
+        |    + 1 + length(role) + 1
+        |    + (CASE WHEN tool IS NULL THEN 0 ELSE 1 + length(tool) END)
+        |    AS INT) AS wire_len,
+        |  CAST(NULL AS VARCHAR) AS err
         |FROM transcripts""".stripMargin),
     "q_awk" ->
       """SELECT doc_id,
