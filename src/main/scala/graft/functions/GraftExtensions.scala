@@ -60,6 +60,10 @@ object GraftExtensions {
           args(1).eval().asInstanceOf[Number].intValue(),
           args(2).eval().asInstanceOf[Number].intValue())
       }),
+    ("graft_fnv1a32", "FNV-1a 32-bit of a binary key as signed int (kafka fnv1a_hash partitioner hash)",
+      args => Fnv1a32(args.head)),
+    ("graft_murmur2", "Kafka-compatible murmur2 of a binary key as signed int (kafka murmur2_hash partitioner hash)",
+      args => Murmur2Kafka(args.head)),
     ("graft_minhash_sig", "one-pass MinHash signature (text, k, numHashes)",
       args => {
         // k/numHashes shape the output schema, so they must be literal at

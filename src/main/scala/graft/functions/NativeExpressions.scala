@@ -248,6 +248,69 @@ object Native {
     while (i + n <= cps.length) { set.add(new String(cps, i, n)); i += 1 }
     set
   }
+
+  /** FNV-1a 32-bit over raw bytes — the hash behind the reference kafka
+    * output's default `fnv1a_hash` partitioner (sarama's
+    * NewHashPartitioner; reference: internal/old/output/writer/
+    * kafka.go:216-217). Returned as the signed int32 reinterpretation,
+    * matching sarama's `int32(hasher.Sum32())` before its mod/abs.
+    */
+  def fnv1a32(b: Array[Byte]): Int = {
+    var h = 0x811c9dc5 // 2166136261
+    var i = 0
+    while (i < b.length) {
+      h = (h ^ (b(i) & 0xff)) * 0x01000193 // 16777619, wraps mod 2^32
+      i += 1
+    }
+    h
+  }
+
+  /** Kafka-compatible murmur2 over raw bytes — the hash the reference
+    * installs for its `murmur2_hash` partitioner so keyed messages land on
+    * the same partition as the Java Kafka client (reference:
+    * internal/old/output/writer/kafka.go:456-547; golden vectors from
+    * kafka_test.go:8-23 are pinned in KafkaPartitionSpec). All arithmetic
+    * is 32-bit wrapping; JVM Int semantics give it for free.
+    */
+  def murmur2Kafka(data: Array[Byte]): Int = {
+    val seed = 0x9747b28c
+    val m = 0x5bd1e995
+    val length = data.length
+    var h = seed ^ length
+    val length4 = length / 4
+    var i = 0
+    while (i < length4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) + ((data(i4 + 1) & 0xff) << 8) +
+        ((data(i4 + 2) & 0xff) << 16) + ((data(i4 + 3) & 0xff) << 24)
+      k *= m
+      k ^= k >>> 24
+      k *= m
+      h *= m
+      h ^= k
+      i += 1
+    }
+    val base = length & ~3
+    (length % 4) match {
+      case 3 =>
+        h ^= (data(base + 2) & 0xff) << 16
+        h ^= (data(base + 1) & 0xff) << 8
+        h ^= data(base) & 0xff
+        h *= m
+      case 2 =>
+        h ^= (data(base + 1) & 0xff) << 8
+        h ^= data(base) & 0xff
+        h *= m
+      case 1 =>
+        h ^= data(base) & 0xff
+        h *= m
+      case _ =>
+    }
+    h ^= h >>> 13
+    h *= m
+    h ^= h >>> 15
+    h
+  }
 }
 
 /** graft_token_count(text): codegen'd one-pass token count. */
@@ -366,4 +429,35 @@ case class CosineSimI8(left: Expression, right: Expression) extends BinaryExpres
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.cosineI8($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimI8 =
     copy(left = l, right = r)
+}
+
+/** graft_fnv1a32(key: BINARY): codegen'd FNV-1a 32-bit as signed int —
+  * the reference kafka output's default partitioner hash
+  * (kafka.go:216-217 via sarama). String keys coerce via Spark's implicit
+  * string→binary cast (UTF-8 bytes, same bytes sarama hashes).
+  */
+case class Fnv1a32(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(BinaryType)
+  override protected def nullSafeEval(input: Any): Any =
+    Native.fnv1a32(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.fnv1a32($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a32 =
+    copy(child = newChild)
+}
+
+/** graft_murmur2(key: BINARY): codegen'd Kafka murmur2 as signed int —
+  * the reference's Java-client-compatible partitioner hash
+  * (kafka.go:456-547).
+  */
+case class Murmur2Kafka(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(BinaryType)
+  override protected def nullSafeEval(input: Any): Any =
+    Native.murmur2Kafka(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Native.murmur2Kafka($c)")
+  override protected def withNewChildInternal(newChild: Expression): Murmur2Kafka =
+    copy(child = newChild)
 }

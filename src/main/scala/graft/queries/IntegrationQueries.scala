@@ -149,6 +149,45 @@ object IntegrationQueries {
       Awk.proc(docs, """{ print lang "#" doc_id ": " nchars " chars" }""", "json")
         .select(col("doc_id"), col("text").as("awk_out"),
           col(Errors.ErrCol).as("err"))
+    }),
+
+    // kafka output fnv1a_hash partitioner (kafka.go:216-217 via sarama's
+    // NewHashPartitioner): signed FNV-1a 32 of the key, mod n, abs. The
+    // oracle recomputes the hash byte-by-byte in a recursive CTE.
+    "q_kafka_fnv1a" -> ((s, dir) => {
+      import graft.ops.KafkaPartition
+      val keys = Tables.transcripts(s, dir).select(col("conv_id")).distinct()
+      keys.select(col("conv_id"),
+        KafkaPartition.fnv1a32(keys, col("conv_id")).as("h32"),
+        KafkaPartition.fnv1aPartition(keys, col("conv_id"), 12).cast("int").as("part_id"))
+    }),
+
+    // kafka output murmur2_hash partitioner (kafka.go:218-223,456-547):
+    // the Java-client-compatible murmur2 with WithAbsFirst's
+    // toPositive(h) % n. The oracle replays the 32-bit wrapping arithmetic
+    // (chunk mixes, tail, final avalanche) in HUGEINT-mod-2^32 SQL; the
+    // hash itself is additionally pinned to the reference's golden vectors
+    // in KafkaPartitionSpec.
+    "q_kafka_murmur2" -> ((s, dir) => {
+      import graft.ops.KafkaPartition
+      val keys = Tables.transcripts(s, dir).select(col("conv_id")).distinct()
+      keys.select(col("conv_id"),
+        KafkaPartition.murmur2(keys, col("conv_id")).as("h32"),
+        KafkaPartition.murmur2Partition(keys, col("conv_id"), 12).cast("int").as("part_id"))
+    }),
+
+    // kafka round_robin (deterministic form) + manual partitioners
+    // (kafka.go:224-228): ordinal-in-total-order mod n, and an explicit
+    // partition field with the out-of-range error contract (turn_idx ≥ n
+    // rows carry the flag and stay unrouted).
+    "q_kafka_rr_manual" -> ((s, dir) => {
+      import graft.ops.KafkaPartition
+      val df = Tables.transcripts(s, dir)
+      val rr = KafkaPartition.roundRobin(
+        df, 12, Seq(col("conv_id"), col("turn_idx")), as = "rr_part")
+      KafkaPartition.manual(rr, "turn_idx", 12, as = "man_part")
+        .select(col("conv_id"), col("turn_idx"), col("rr_part"),
+          col("man_part"), col(Errors.ErrCol).as("err"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +242,90 @@ object IntegrationQueries {
         |  lang || '#' || CAST(doc_id AS VARCHAR) || ': ' ||
         |    CAST(length(text) AS VARCHAR) || ' chars' AS awk_out,
         |  CAST(NULL AS VARCHAR) AS err
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // FNV-1a 32 recomputed byte-by-byte (keys are ASCII so unicode() ==
+    // the UTF-8 octet): h ← (h ⊕ byte) · 16777619 mod 2^32, signed
+    // reinterpretation, sarama's mod-then-abs partition math.
+    "q_kafka_fnv1a" ->
+      """WITH RECURSIVE keys AS (
+        |  SELECT DISTINCT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS k FROM events
+        |),
+        |f AS (
+        |  SELECT k, 1 AS i, CAST(2166136261 AS BIGINT) AS h FROM keys
+        |  UNION ALL
+        |  SELECT k, i + 1,
+        |    (xor(h, CAST(unicode(substr(k, i, 1)) AS BIGINT)) * 16777619) % 4294967296
+        |  FROM f WHERE i <= length(k)
+        |),
+        |hs AS (SELECT k, h FROM f WHERE i = length(k) + 1),
+        |sgn AS (SELECT k, CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS sh FROM hs)
+        |SELECT k AS conv_id, CAST(sh AS INT) AS h32,
+        |  CAST(abs(sh % 12) AS INT) AS part_id
+        |FROM sgn""".stripMargin,
+    // Kafka murmur2 replayed in SQL: 4-byte little-endian chunks, each
+    // mixed (·m, ⊕ ≫24, ·m) then folded into h (·m, ⊕), the ≤3-byte tail,
+    // and the 13/·m/15 avalanche — all mod 2^32 (HUGEINT for the 32×32
+    // products); partition is WithAbsFirst's (h & 0x7fffffff) % n =
+    // (h mod 2^31) % n. Validated against kafka_test.go:8-23's vectors.
+    "q_kafka_murmur2" ->
+      """WITH RECURSIVE keys AS (
+        |  SELECT DISTINCT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS k FROM events
+        |),
+        |chunks0 AS (
+        |  SELECT k, CAST(g.generate_series AS BIGINT) AS ci,
+        |    CAST(unicode(substr(k, CAST(g.generate_series*4+1 AS INT), 1)) AS BIGINT)
+        |      + CAST(unicode(substr(k, CAST(g.generate_series*4+2 AS INT), 1)) AS BIGINT) * 256
+        |      + CAST(unicode(substr(k, CAST(g.generate_series*4+3 AS INT), 1)) AS BIGINT) * 65536
+        |      + CAST(unicode(substr(k, CAST(g.generate_series*4+4 AS INT), 1)) AS BIGINT) * 16777216 AS kk0
+        |  FROM keys, generate_series(0, 63) g
+        |  WHERE g.generate_series <= length(k)//4 - 1
+        |),
+        |chunks1 AS (
+        |  SELECT k, ci, CAST((CAST(kk0 AS HUGEINT) * 1540483477) % 4294967296 AS BIGINT) AS kk1 FROM chunks0
+        |),
+        |chunks AS (
+        |  SELECT k, ci,
+        |    CAST((CAST(xor(kk1, kk1 // 16777216) AS HUGEINT) * 1540483477) % 4294967296 AS BIGINT) AS kk
+        |  FROM chunks1
+        |),
+        |fold AS (
+        |  SELECT k, CAST(-1 AS BIGINT) AS ci,
+        |    xor(CAST(2538058380 AS BIGINT), CAST(length(k) AS BIGINT)) AS h
+        |  FROM keys
+        |  UNION ALL
+        |  SELECT f.k, c.ci,
+        |    xor(CAST((CAST(f.h AS HUGEINT) * 1540483477) % 4294967296 AS BIGINT), c.kk)
+        |  FROM fold f JOIN chunks c ON c.k = f.k AND c.ci = f.ci + 1
+        |),
+        |folded AS (SELECT k, h FROM fold WHERE ci = length(k)//4 - 1),
+        |tail1 AS (
+        |  SELECT k, CASE WHEN length(k) % 4 >= 3
+        |    THEN xor(h, CAST(unicode(substr(k, CAST((length(k)//4)*4+3 AS INT), 1)) AS BIGINT) * 65536)
+        |    ELSE h END AS h FROM folded
+        |),
+        |tail2 AS (
+        |  SELECT k, CASE WHEN length(k) % 4 >= 2
+        |    THEN xor(h, CAST(unicode(substr(k, CAST((length(k)//4)*4+2 AS INT), 1)) AS BIGINT) * 256)
+        |    ELSE h END AS h FROM tail1
+        |),
+        |tail3 AS (
+        |  SELECT k, CASE WHEN length(k) % 4 >= 1
+        |    THEN CAST((CAST(xor(h, CAST(unicode(substr(k, CAST((length(k)//4)*4+1 AS INT), 1)) AS BIGINT)) AS HUGEINT) * 1540483477) % 4294967296 AS BIGINT)
+        |    ELSE h END AS h FROM tail2
+        |),
+        |mix1 AS (SELECT k, xor(h, h // 8192) AS h FROM tail3),
+        |mix2 AS (SELECT k, CAST((CAST(h AS HUGEINT) * 1540483477) % 4294967296 AS BIGINT) AS h FROM mix1),
+        |mix3 AS (SELECT k, xor(h, h // 32768) AS h FROM mix2)
+        |SELECT k AS conv_id,
+        |  CAST(CASE WHEN h >= 2147483648 THEN h - 4294967296 ELSE h END AS INT) AS h32,
+        |  CAST((h % 2147483648) % 12 AS INT) AS part_id
+        |FROM mix3""".stripMargin,
+    "q_kafka_rr_manual" -> (T +
+      """SELECT conv_id, turn_idx,
+        |  CAST((row_number() OVER (ORDER BY conv_id, turn_idx) - 1) % 12 AS INT) AS rr_part,
+        |  CASE WHEN turn_idx >= 0 AND turn_idx < 12 THEN turn_idx END AS man_part,
+        |  CASE WHEN turn_idx < 0 OR turn_idx >= 12
+        |    THEN 'manual partitioner: partition out of range [0, 12): ' || CAST(turn_idx AS VARCHAR)
+        |  END AS err
+        |FROM transcripts""".stripMargin))
 }
