@@ -79,6 +79,21 @@ object MicroBench {
     time("cosine_i8 native") {
       qvecs.select(sum(expr("graft_cosine_i8(q, reverse(q))"))).head().getDouble(0).toLong
     }
+    // kafka partitioner hashes: no HOF twin exists — the honest baseline
+    // is Spark's own codegen'd xxhash64; the custom expressions must cost
+    // the same (all three are one fused pass per row over the key bytes)
+    val keys = texts.selectExpr("concat('conv-', lpad(cast(id % 1500000 as string), 7, '0')) AS k")
+      .cache()
+    keys.count()
+    time("key hash xxhash64 (builtin)") {
+      keys.select(sum(xxhash64(col("k")) % 1000)).head().getLong(0)
+    }
+    time("key hash fnv1a32 native") {
+      keys.select(sum(expr("graft_fnv1a32(cast(k as binary)) % 1000"))).head().getLong(0)
+    }
+    time("key hash murmur2 native") {
+      keys.select(sum(expr("graft_murmur2(cast(k as binary)) % 1000"))).head().getLong(0)
+    }
     // the Bloblang text engine: the interpreted JSON-frame UDF vs the
     // Catalyst-compiled typed subset (BloblangCompiler) — identical
     // program text; the JSON doc is pre-materialized so the delta is

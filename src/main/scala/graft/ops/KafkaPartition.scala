@@ -112,6 +112,10 @@ object KafkaPartition {
     case "murmur2_hash" => df.withColumn(as, murmur2Partition(df, key, n))
     case "random"       => df.withColumn(as, randomPartition(key, n))
     case "round_robin"  => roundRobinTask(df, n, as)
+    case "manual" =>
+      // kafka.go:125-127's config-time contract, verbatim
+      throw new IllegalArgumentException(
+        "partition field required for 'manual' partitioner (use KafkaPartition.manual)")
     case other =>
       throw new IllegalArgumentException(s"partitioner not recognised: $other")
   }

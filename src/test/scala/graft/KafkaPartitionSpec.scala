@@ -100,5 +100,11 @@ class KafkaPartitionSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       KafkaPartition.assign(df, "nope", col("k"), 4)
     }
+    // the reference rejects 'manual' without a partition field at config
+    // time (kafka.go:125-127) — the dispatcher mirrors that contract
+    val e = intercept[IllegalArgumentException] {
+      KafkaPartition.assign(df, "manual", col("k"), 4)
+    }
+    assert(e.getMessage.contains("partition field required"))
   }
 }
