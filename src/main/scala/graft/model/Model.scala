@@ -19,6 +19,28 @@ final case class Turn(
     ts: Timestamp
 )
 
+/** A turn as buffered inside conv-keyed streaming state. The state-store
+  * key IS the conv_id, so carrying it again inside every buffered row is
+  * pure serialization waste — at the bench generator's shape (~11-char
+  * conv ids, ~60-char texts) it is ~15% of state bytes, paid on every
+  * RocksDB put/get, changelog upload, and (for flatMapGroupsWithState)
+  * every whole-buffer re-serialization of a touched key. Both stateful
+  * session-join engines buffer this shape and re-attach conv_id at flush.
+  */
+final case class BufTurn(
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+object BufTurn {
+  def of(t: Turn): BufTurn = BufTurn(t.turn_idx, t.role, t.text, t.tool, t.ts)
+  def toTurn(convId: String, b: BufTurn): Turn =
+    Turn(convId, b.turn_idx, b.role, b.text, b.tool, b.ts)
+}
+
 /** A turn carrying engine metadata — the Spark mapping of Benthos's
   * Part.metadata map + error flag (internal/message/part.go:129-138,209-245).
   * `error == null` means the row is healthy; processors route on it

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.model.{PairedTurn, Turn}
+import graft.model.{BufTurn, PairedTurn, Turn}
 
 /** The flagship stateful operator (BASELINE.json north_star): join each
   * assistant/tool turn to the most recent user turn within the same
@@ -90,9 +90,11 @@ object SessionJoin {
     * conversation's last open session. Kept deliberately small and
     * schema-explicit (SURVEY.md §7.3): at 10^12-turn scale state size per
     * key is bounded by one session's turns, and the event-time timeout
-    * guarantees eviction.
+    * guarantees eviction. Rows buffer as `BufTurn` — conv_id is the state
+    * key, so it never rides inside the value (~15% of state bytes at the
+    * bench shape, re-serialized on every touched-key batch in this engine).
     */
-  case class ConvState(buffered: List[Turn], flushedSessions: Long)
+  case class ConvState(buffered: List[BufTurn], flushedSessions: Long)
 
   /** Streaming form. Emits a session's pairs exactly once, when the
     * watermark passes (last turn ts + gap) — the point the reference's
@@ -134,7 +136,7 @@ object SessionJoin {
         Iterator.empty
       } else {
         // Watermark passed last ts + gap: every buffered session is closed.
-        val pairs = pairTurns(old.buffered, gapSeconds)
+        val pairs = pairTurns(old.buffered.map(BufTurn.toTurn(convId, _)), gapSeconds)
           .map(p => p.copy(session_id = p.session_id + old.flushedSessions))
         val nSessions = sessionCount(old.buffered, gapSeconds)
         state.update(ConvState(Nil, old.flushedSessions + nSessions))
@@ -146,7 +148,7 @@ object SessionJoin {
       // Drop late turns explicitly (flatMapGroupsWithState does not):
       // reference drop rule buffer_system_window.go:333-336.
       val fresh = incoming.filter(t => wm == 0 || t.ts.getTime >= wm)
-      val buf = old.buffered ++ fresh
+      val buf = old.buffered ++ fresh.map(BufTurn.of)
       if (buf.isEmpty) Iterator.empty
       else {
         state.update(ConvState(buf, old.flushedSessions))
@@ -159,7 +161,7 @@ object SessionJoin {
     }
   }
 
-  private def sessionCount(turns: Seq[Turn], gapSeconds: Long): Long = {
+  private def sessionCount(turns: Seq[BufTurn], gapSeconds: Long): Long = {
     val sorted = turns.sortBy(t => (t.ts.getTime, t.turn_idx))
     var n = 0L
     var prev = Long.MinValue

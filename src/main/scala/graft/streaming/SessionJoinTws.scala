@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import graft.model.{PairedTurn, Turn}
+import graft.model.{BufTurn, PairedTurn, Turn}
 
 /** The session join on Spark 4's `transformWithState` API — the
   * production-scale variant of `SessionJoin.pairStreaming`.
@@ -25,11 +25,14 @@ object SessionJoinTws {
   class SessionPairProcessor(gapSeconds: Long)
       extends StatefulProcessor[String, Turn, PairedTurn] {
 
-    @transient private var buffered: ListState[Turn] = _
+    // BufTurn, not Turn: the list is keyed by conv_id already — carrying
+    // the key inside every appended element would waste ~15% of state
+    // bytes on every merge operand and changelog upload (model.BufTurn).
+    @transient private var buffered: ListState[BufTurn] = _
     @transient private var meta: ValueState[(Long, Long)] = _ // (flushedSessions, timerTs)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buffered = getHandle.getListState[Turn]("buffered", Encoders.product[Turn], TTLConfig.NONE)
+      buffered = getHandle.getListState[BufTurn]("buffered", Encoders.product[BufTurn], TTLConfig.NONE)
       meta = getHandle.getValueState[(Long, Long)]("meta",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
     }
@@ -40,7 +43,8 @@ object SessionJoinTws {
         timerValues: TimerValues): Iterator[PairedTurn] = {
       val wm = timerValues.getCurrentWatermarkInMs()
       // late-turn drop rule (reference: buffer_system_window.go:333-336)
-      val fresh = rows.filter(t => wm <= 0 || t.ts.getTime >= wm).toArray
+      val fresh = rows.filter(t => wm <= 0 || t.ts.getTime >= wm)
+        .map(BufTurn.of).toArray
       if (fresh.nonEmpty) {
         buffered.appendList(fresh)
         val (flushedSessions, oldTimer) = Option(meta.get()).getOrElse((0L, 0L))
@@ -64,7 +68,7 @@ object SessionJoinTws {
       if (activeTimer != 0L && expiredTimerInfo.getExpiryTimeInMs() != activeTimer)
         return Iterator.empty
       // watermark passed (last ts + gap): every buffered session is closed
-      val turns = buffered.get().toList
+      val turns = buffered.get().map(BufTurn.toTurn(convId, _)).toList
       buffered.clear()
       if (turns.isEmpty) {
         // tombstone cleanup: drop all state, conv restarts numbering
