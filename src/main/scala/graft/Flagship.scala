@@ -33,15 +33,24 @@ object Flagship {
     * file order ≈ arrival order (the generator's late stragglers stay late
     * within a file). Returns the input dir. Staged once, replayed at
     * multiple parallelism levels by Bench for the scaling measurement.
+    *
+    * `keyedByConv` stages each conversation wholly inside one file —
+    * the partitioning a conv_id-keyed ingest (e.g. a Kafka topic keyed by
+    * conv_id, the reference's kafka input shape) hands the engine. Under
+    * hot-key skew that concentrates a hot conversation's per-turn map
+    * work in ONE scan task, which is exactly the regime the salted
+    * repartition exists for (SkewHeavyBench).
     */
   def stage(spark: SparkSession, nConvs: Long, nFiles: Int = 16,
-      hotConvs: Int = 0, hotMult: Int = 20): String = {
+      hotConvs: Int = 0, hotMult: Int = 20,
+      keyedByConv: Boolean = false): String = {
     val work = graft.util.Tmp.dir("flagship")
     val inDir = s"$work/in"
-    TranscriptGen.transcripts(spark, nConvs, 42L, hotConvs, hotMult)
-      .orderBy(col("ts"))
-      .coalesce(nFiles)
-      .write.parquet(inDir)
+    val ds = TranscriptGen.transcripts(spark, nConvs, 42L, hotConvs, hotMult)
+    val laid =
+      if (keyedByConv) ds.repartition(nFiles, col("conv_id"))
+      else ds.orderBy(col("ts")).coalesce(nFiles)
+    laid.write.parquet(inDir)
     inDir
   }
 
@@ -63,21 +72,43 @@ object Flagship {
     * addresses via incremental ListState appends).
     */
   def runStaged(spark: SparkSession, inDir: String, filesPerTrigger: Int = 4,
-      engine: String = "fmgws", salt: Int = 0): Result = {
+      engine: String = "fmgws", salt: Int = 0, heavyMap: Boolean = false): Result = {
     import spark.implicits._
     val work = graft.util.Tmp.dir("flagship-run")
     val metrics = Metrics.install(spark)
-    val turnsRaw = spark.readStream
+    val raw = spark.readStream
       .schema("conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(inDir)
-      .as[Turn]
-    val turns =
-      if (salt <= 0) turnsRaw
+    val salted =
+      if (salt <= 0) raw
       else {
         val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        SessionJoin.saltedRepartition(turnsRaw.toDF(), parts, salt).as[Turn]
+        SessionJoin.saltedRepartition(raw, parts, salt)
       }
+    // The 100 TB pipeline's per-turn map work (north_star: tokenization,
+    // quality scoring, redaction BEFORE the join). Real gates, not
+    // busywork: the quality/language scores gate which rows get redacted
+    // vs tagged, so Catalyst cannot fold the work away. Deliberately a
+    // pure PROJECTION, not a Filter: `PushPredicateThroughNonJoin` pushes
+    // filters through RepartitionByExpression, which would move the
+    // expensive predicate BACK below the salted exchange into the
+    // (hot-key-concentrated) scan task — the exact skew the salt exists
+    // to defeat. A projection stays put; column pruning only pushes the
+    // raw-column Project below the exchange. When the input is conv-keyed
+    // (stage(keyedByConv=true)) this stage is where hot-conversation skew
+    // lands — and what the salted repartition spreads.
+    val mapped =
+      if (!heavyMap) salted
+      else {
+        val q = graft.ops.TextOps.qualityScore(col("text"))
+        val lang = graft.ops.TextOps.langId(col("text"))
+        salted.withColumn("text",
+          when(q >= 0.0 && lang =!= lit("--"),
+            graft.ops.TextOps.redactPii(col("text")))
+            .otherwise(concat(lit("<low-quality> "), col("text"))))
+      }
+    val turns = mapped.as[Turn]
 
     val paired = engine match {
       case "tws" => SessionJoinTws.pairStreaming(turns, SessionJoin.DefaultGapSeconds, "10 minutes")
