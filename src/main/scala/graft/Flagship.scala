@@ -27,30 +27,72 @@ object Flagship {
       turnsPerSec: Double,
       p99LatencyMs: Long,
       maxStateRows: Long,
-      maxStateBytes: Long)
+      maxStateBytes: Long,
+      // watermark at shutdown (epoch ms): a bounded replay only emits
+      // sessions the final watermark closed, so the pair count is a
+      // function of this value — carrying it makes run-to-run pair-count
+      // shifts self-explaining (they track watermark progress, not bugs).
+      watermarkMs: Long = 0L,
+      // per-driver-phase totals across batches (walCommit, commitOffsets,
+      // queryPlanning, addBatch, …) — where the per-batch serial term goes
+      durationTotals: Map[String, Long] = Map.empty)
 
   /** Stage a deterministic transcript stream to parquet: sorted by ts so
     * file order ≈ arrival order (the generator's late stragglers stay late
     * within a file). Returns the input dir. Staged once, replayed at
     * multiple parallelism levels by Bench for the scaling measurement.
     *
-    * `keyedByConv` stages each conversation wholly inside one file —
-    * the partitioning a conv_id-keyed ingest (e.g. a Kafka topic keyed by
-    * conv_id, the reference's kafka input shape) hands the engine. Under
-    * hot-key skew that concentrates a hot conversation's per-turn map
-    * work in ONE scan task, which is exactly the regime the salted
-    * repartition exists for (SkewHeavyBench).
+    * `keyedByConv` stages conv-keyed — the partitioning a conv_id-keyed
+    * ingest (e.g. a Kafka topic keyed by conv_id, the reference's kafka
+    * input shape) hands the engine. Under hot-key skew that concentrates
+    * a hot conversation's per-turn map work in ONE scan task, which is
+    * exactly the regime the salted repartition exists for
+    * (SkewHeavyBench).
+    *
+    * `slices` (keyed staging only) keeps the replay TIME-COHERENT: rows
+    * are cut into `slices` equal-frequency event-time slabs, each slab
+    * conv-keyed into nFiles/slices files and written in slab order, so a
+    * maxFilesPerTrigger = nFiles/slices replay advances every
+    * conversation's event time together — exactly how a real conv-keyed
+    * Kafka topic is consumed (all partitions drain in rough arrival
+    * order). Without it (slices = 1) every file spans the corpus's whole
+    * event-time range, so the watermark set by the FIRST trigger (10-min
+    * lateness vs hot conversations spanning years of event time) makes
+    * the engines' explicit late-drop rule discard most later triggers'
+    * turns — a replay-harness artifact, not a pipeline property (the
+    * round-3 SkewHeavyBench records measured exactly that; see
+    * BENCH.md §"Salting measured where it pays").
     */
   def stage(spark: SparkSession, nConvs: Long, nFiles: Int = 16,
       hotConvs: Int = 0, hotMult: Int = 20,
-      keyedByConv: Boolean = false): String = {
+      keyedByConv: Boolean = false, slices: Int = 1): String = {
     val work = graft.util.Tmp.dir("flagship")
     val inDir = s"$work/in"
     val ds = TranscriptGen.transcripts(spark, nConvs, 42L, hotConvs, hotMult)
-    val laid =
-      if (keyedByConv) ds.repartition(nFiles, col("conv_id"))
-      else ds.orderBy(col("ts")).coalesce(nFiles)
-    laid.write.parquet(inDir)
+    if (keyedByConv && slices > 1) {
+      val filesPerSlice = math.max(1, nFiles / slices)
+      val df = ds.toDF().withColumn("__sec", unix_timestamp(col("ts"))).persist()
+      // equal-frequency slice boundaries (approx quantiles of event time):
+      // equal-WIDTH slabs would put ~all light conversations in slab 0
+      // (their starts span ~42 days; a hot conversation spans years)
+      val bounds = df.stat.approxQuantile("__sec",
+        (1 until slices).map(_.toDouble / slices).toArray, 1e-4)
+      (0 until slices).foreach { i =>
+        val lo = if (i == 0) lit(true) else col("__sec") >= bounds(i - 1)
+        val hi = if (i == slices - 1) lit(true) else col("__sec") < bounds(i)
+        // sequential writes => strictly increasing file mtimes, which is
+        // the order FileStreamSource replays (latestFirst=false default)
+        df.filter(lo && hi).drop("__sec")
+          .repartition(filesPerSlice, col("conv_id"))
+          .write.mode("append").parquet(inDir)
+      }
+      df.unpersist()
+    } else {
+      val laid =
+        if (keyedByConv) ds.repartition(nFiles, col("conv_id"))
+        else ds.orderBy(col("ts")).coalesce(nFiles)
+      laid.write.parquet(inDir)
+    }
     inDir
   }
 
@@ -136,7 +178,8 @@ object Flagship {
     graft.util.Tmp.delete(work) // checkpoint + sink are ephemeral per run
     Result(nTurns, nPairs, elapsed, nTurns / elapsed, metrics.p99LatencyMs,
       if (snaps.isEmpty) 0 else snaps.map(_.stateRows).max,
-      if (snaps.isEmpty) 0 else snaps.map(_.stateBytes).max)
+      if (snaps.isEmpty) 0 else snaps.map(_.stateBytes).max,
+      metrics.maxWatermarkMs, metrics.durationTotals)
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,7 +219,8 @@ object Flagship {
     val r = runStaged(spark, stage(spark, nConvs, nFiles), filesPerTrigger, engine)
     println(f"""{"turns":${r.turns},"pairs":${r.pairs},"elapsed_sec":${r.elapsedSec}%.2f,""" +
       f""""turns_per_sec":${r.turnsPerSec}%.0f,"p99_latency_ms":${r.p99LatencyMs},""" +
-      f""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes}}""")
+      f""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes},""" +
+      f""""watermark_at_shutdown_ms":${r.watermarkMs}}""")
     spark.stop()
   }
 }

@@ -23,7 +23,9 @@ class Metrics extends StreamingQueryListener {
       stateRows: Long, // state-store size (rows)
       stateBytes: Long, // state-store size (bytes)
       watermarkLagMs: Long, // max event time - watermark
-      batchLatencyMs: Long) // reference: *_latency_ns
+      watermarkMs: Long, // absolute watermark (epoch ms; 0 until it moves)
+      batchLatencyMs: Long, // reference: *_latency_ns
+      durations: Map[String, Long]) // per-batch driver phases (walCommit, …)
 
   val snapshots: mutable.ArrayBuffer[Snapshot] = mutable.ArrayBuffer.empty
 
@@ -36,14 +38,22 @@ class Metrics extends StreamingQueryListener {
     val stateRows = if (state.isEmpty) 0L else state.map(_.numRowsTotal).sum
     val stateBytes = if (state.isEmpty) 0L else state.map(_.memoryUsedBytes).sum
     val wmLag = watermarkLagMs(p.eventTime)
+    val wm = Option(p.eventTime.get("watermark"))
+      .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
     val latency = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+    val durs = {
+      val it = p.durationMs.entrySet().iterator()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.toLong }
+      b.result()
+    }
     // the listener is session-wide: without the query identity, N
     // concurrent streams' snapshots interleave indistinguishably
     val q = Option(p.name).getOrElse(p.id.toString)
     snapshots.synchronized {
       snapshots += Snapshot(q, p.batchId, p.numInputRows,
         Option(p.sink).map(_.numOutputRows).getOrElse(-1L),
-        p.processedRowsPerSecond, stateRows, stateBytes, wmLag, latency)
+        p.processedRowsPerSecond, stateRows, stateBytes, wmLag, wm, latency, durs)
     }
   }
 
@@ -62,6 +72,23 @@ class Metrics extends StreamingQueryListener {
   }
 
   def totalInputRows: Long = snapshots.synchronized(snapshots.map(_.inputReceived).sum)
+
+  /** Final (max) watermark across all progress events — lets a bounded
+    * replay's record state how far event time had advanced at shutdown,
+    * i.e. which still-open sessions were legitimately NOT emitted.
+    */
+  def maxWatermarkMs: Long = snapshots.synchronized {
+    if (snapshots.isEmpty) 0L else snapshots.map(_.watermarkMs).max
+  }
+
+  /** Sum of each driver-phase duration across batches (walCommit,
+    * commitOffsets, queryPlanning, addBatch, triggerExecution, …) — the
+    * per-batch serial term the scaling proxy's Amdahl fit blames lives
+    * here, so the bench can report where it actually goes.
+    */
+  def durationTotals: Map[String, Long] = snapshots.synchronized {
+    snapshots.flatMap(_.durations).groupMapReduce(_._1)(_._2)(_ + _)
+  }
 }
 
 object Metrics {

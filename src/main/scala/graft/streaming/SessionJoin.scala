@@ -107,6 +107,16 @@ object SessionJoin {
     * flushed window are purged, buffer_system_window.go:333-336). Turns
     * arriving after their conversation's flush but within the watermark
     * open a NEW session.
+    *
+    * Flush happens on BOTH paths, not just timeout: a continuously-active
+    * conversation receives data every micro-batch, so its timeout slot is
+    * superseded forever and `hasTimedOut` never fires — without the eager
+    * data-path flush its watermark-closed sessions would sit in state
+    * until the conversation finally goes quiet (unbounded state for hot
+    * keys at 10^12-turn scale, and pairs withheld arbitrarily long; found
+    * by SkewHeavyBench's pair-count sanity check, round 4). The eager
+    * flush is guarded by a min-buffered-ts check so conversations with
+    * nothing closable pay nothing.
     */
   def pairStreaming(
       turns: Dataset[Turn],
@@ -134,43 +144,83 @@ object SessionJoin {
         // session numbering, like the reference's expired cache entries.
         state.remove()
         Iterator.empty
-      } else {
-        // Watermark passed last ts + gap: every buffered session is closed.
-        val pairs = pairTurns(old.buffered.map(BufTurn.toTurn(convId, _)), gapSeconds)
-          .map(p => p.copy(session_id = p.session_id + old.flushedSessions))
-        val nSessions = sessionCount(old.buffered, gapSeconds)
-        state.update(ConvState(Nil, old.flushedSessions + nSessions))
-        // keep the tombstone one more gap, then clean it up (branch above)
-        state.setTimeoutTimestamp(wm + gapSeconds * 1000)
-        pairs.iterator
-      }
+      } else flushAndRearm(convId, old, Nil, gapSeconds, wm, state)
     } else {
       // Drop late turns explicitly (flatMapGroupsWithState does not):
       // reference drop rule buffer_system_window.go:333-336.
-      val fresh = incoming.filter(t => wm == 0 || t.ts.getTime >= wm)
-      val buf = old.buffered ++ fresh.map(BufTurn.of)
-      if (buf.isEmpty) Iterator.empty
-      else {
-        state.update(ConvState(buf, old.flushedSessions))
-        val maxTs = buf.iterator.map(_.ts.getTime).max
-        // clamp above the watermark: buffered turns may be older than wm
-        // when the watermark jumped within this batch
-        state.setTimeoutTimestamp(math.max(maxTs + gapSeconds * 1000 + 1, wm + 1))
-        Iterator.empty
-      }
+      val fresh = incoming.filter(t => wm == 0 || t.ts.getTime >= wm).toList
+      if (old.buffered.isEmpty && fresh.isEmpty) Iterator.empty
+      else flushAndRearm(convId, old, fresh.map(BufTurn.of), gapSeconds, wm, state)
     }
   }
 
-  private def sessionCount(turns: Seq[BufTurn], gapSeconds: Long): Long = {
-    val sorted = turns.sortBy(t => (t.ts.getTime, t.turn_idx))
-    var n = 0L
+  /** Shared flush step for BOTH the data and the timeout path: append the
+    * batch's turns, emit every watermark-closed session, keep the open
+    * tail, and re-arm the timeout for the FIRST open session's close
+    * point. The timer must target the first-open close, not the
+    * buffer-max close: a multi-session buffer armed at (maxTs + gap)
+    * only becomes flushable after the LAST session closes, which for a
+    * conversation active until end-of-input is never — its earlier,
+    * long-closed sessions would stay in state and their pairs would
+    * never emit (found by SkewHeavyBench's pair-count sanity check).
+    * A timer may thus fire while the first session is still open; the
+    * flush is then empty and the timer re-arms at the (now known exactly)
+    * close point.
+    */
+  private def flushAndRearm(
+      convId: String,
+      old: ConvState,
+      freshTurns: List[BufTurn],
+      gapSeconds: Long,
+      wm: Long,
+      state: GroupState[ConvState]): Iterator[PairedTurn] = {
+    val buf = old.buffered ++ freshTurns
+    val (closed, open, firstOpenEnd) = splitClosed(buf, gapSeconds, wm)
+    val pairs =
+      if (closed.isEmpty) Nil
+      else pairTurns(closed.flatten.map(BufTurn.toTurn(convId, _)), gapSeconds)
+        .map(p => p.copy(session_id = p.session_id + old.flushedSessions))
+    state.update(ConvState(open, old.flushedSessions + closed.size))
+    if (open.isEmpty)
+      // everything closed: keep a tombstone one more gap (numbering
+      // continuity for stragglers), then the timeout branch evicts it
+      state.setTimeoutTimestamp(wm + gapSeconds * 1000)
+    else
+      state.setTimeoutTimestamp(math.max(firstOpenEnd + gapSeconds * 1000 + 1, wm + 1))
+    pairs.iterator
+  }
+
+  /** Split a conversation's buffer into watermark-closed leading sessions
+    * and the still-open tail. Session boundaries use the same
+    * second-floor gap rule as `pairTurns`; a session is closed when the
+    * watermark passed (its last ts + gap) — the same predicate as the
+    * timeout slot. The third value is a lower bound on the first open
+    * session's end ts (exact when segmentation ran; the buffer min ts on
+    * the guarded fast path) — what the caller's timer should target.
+    * The O(n) min-ts guard keeps the common quiet-conversation case free
+    * of any sorting or session splitting.
+    */
+  private[streaming] def splitClosed(
+      buf: List[BufTurn], gapSeconds: Long, wm: Long): (List[List[BufTurn]], List[BufTurn], Long) = {
+    if (buf.isEmpty) return (Nil, Nil, 0L)
+    val minTs = buf.iterator.map(_.ts.getTime).min
+    if (wm <= 0 || wm <= minTs + gapSeconds * 1000) return (Nil, buf, minTs)
+    val sorted = buf.sortBy(t => (t.ts.getTime, t.turn_idx))
+    // session-split (same rule as sessionCount), collecting segments
+    val segs = scala.collection.mutable.ListBuffer.empty[List[BufTurn]]
+    var cur = scala.collection.mutable.ListBuffer.empty[BufTurn]
     var prev = Long.MinValue
     sorted.foreach { t =>
       val sec = Math.floorDiv(t.ts.getTime, 1000L)
-      if (prev == Long.MinValue || sec - prev > gapSeconds) n += 1
+      if (prev != Long.MinValue && sec - prev > gapSeconds) {
+        segs += cur.toList; cur = scala.collection.mutable.ListBuffer.empty[BufTurn]
+      }
+      cur += t
       prev = sec
     }
-    n
+    segs += cur.toList
+    val (closed, open) = segs.toList.span(s => wm > s.last.ts.getTime + gapSeconds * 1000)
+    (closed, open.flatten, open.headOption.map(_.last.ts.getTime).getOrElse(0L))
   }
 
   /** Hot-key salting (SURVEY.md §4 item 3): pre-shuffle the stream by
