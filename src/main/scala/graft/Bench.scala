@@ -26,7 +26,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    fixed per-run cost stays under ~10% of the high level's trial;
   *  - the skew regime (north_star: salting for hot conversations):
   *    hotConvs dominated input through unsalted fmgws, salted fmgws, and
-  *    the tws ListState engine, three-way.
+  *    the tws ListState engine, three-way;
+  *  - the skew-HEAVY regime (salting-pays): conv-keyed time-sliced
+  *    ingest + heavy per-turn map work, {light,heavy} x {unsalted,
+  *    salted} x engines (SPARK_GRAFT_SKEW_HEAVY=0 skips);
+  *  - sustained (SPARK_GRAFT_SUSTAINED=1 or =<convs>): one long trial
+  *    per engine at ~3.4x the flagship input with the block cache sized
+  *    to the state working set.
+  *
+  * Every streaming block carries emission accounting: the staged input's
+  * batch-form pair count (DuckDB-oracle-equivalent ground truth), the
+  * streamed pair count, their share, and the watermark at shutdown — so
+  * a replay that silently drops or withholds join output (the round-3
+  * staging artifact) fails loudly instead of reading as throughput.
   *
   * Methodology (BENCH.md §1): every trial is logged to stderr; the
   * reported per-level number is the BEST of a FIXED trial count (noise on
@@ -39,7 +51,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  private def session(cores: Int, shufflePartitions: Int = -1): SparkSession = {
+  private def session(cores: Int, shufflePartitions: Int = -1,
+      blockCacheMB: Int = 512): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -58,7 +71,7 @@ object Bench {
       // files + block decompression — pure memory-bandwidth burn on the
       // high-core levels. Sized so the hot working set stays cached; on a
       // real cluster pair it with boundedMemoryUsage to cap the total.
-      .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", "512")
+      .config("spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB", blockCacheMB.toString)
       // fewer memtable flush/compaction cycles per micro-batch commit
       .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "256")
       .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
@@ -124,12 +137,41 @@ object Bench {
     val skipSkew = sys.env.get("SPARK_GRAFT_SKEW").contains("0")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "bench_detail.json")
 
+    // skew-heavy regime (salting-pays): conv-keyed time-sliced staging,
+    // defaults = the recorded SkewHeavyBench experiment
+    val skipSkewHeavy = scalingOnly || sys.env.get("SPARK_GRAFT_SKEW_HEAVY").contains("0")
+    val shConvs = sys.env.getOrElse("SPARK_GRAFT_SKEW_HEAVY_CONVS", "50000").toLong
+    val shHot = sys.env.getOrElse("SPARK_GRAFT_SKEW_HEAVY_HOT", "1").toInt
+    val shMult = sys.env.getOrElse("SPARK_GRAFT_SKEW_HEAVY_MULT", "50000").toInt
+    val shSlices = sys.env.getOrElse("SPARK_GRAFT_SKEW_HEAVY_SLICES", "4").toInt
+    val shFps = sys.env.getOrElse("SPARK_GRAFT_SKEW_HEAVY_FPS", "8").toInt
+    // sustained block (BASELINE metric is SUSTAINED turns/sec): one trial
+    // per engine at ~3.4x the flagship input, block cache sized to the
+    // state working set (BENCH.md "Sustained")
+    val sustainedConvs = sys.env.get("SPARK_GRAFT_SUSTAINED").map(_ match {
+      case "1" | "true" => 5000000L
+      case n => n.toLong
+    }).getOrElse(0L)
+
     // ---- stage deterministic inputs once -------------------------------
     val sGen = session(cpus)
     val warmDir = Flagship.stage(sGen, 2000L, nFiles = fpt)
     val inDir = Flagship.stage(sGen, nConvs, nFiles = nFiles)
     val skewDir = if (skipSkew) "" else
       Flagship.stage(sGen, skewConvs, nFiles = nFiles, hotConvs = hotConvs, hotMult = hotMult)
+    val skewHeavyDir = if (skipSkewHeavy) "" else
+      Flagship.stage(sGen, shConvs, nFiles = shSlices * shFps, hotConvs = shHot,
+        hotMult = shMult, keyedByConv = true, slices = shSlices)
+    // ground truth for emission accounting: the batch (window-function,
+    // DuckDB-oracled) pair count on the same staged input — a bounded
+    // streaming replay must emit exactly the subset of these pairs whose
+    // session the final watermark closed (~all of them), and the record
+    // carries the share so partial-emission bugs (round 3's staging
+    // artifact) cannot hide in a throughput number again.
+    def batchPairsOf(dir: String): Long =
+      graft.streaming.SessionJoin.pairBatch(sGen.read.parquet(dir)).count()
+    val inBatchPairs = batchPairsOf(inDir)
+    val shBatchPairs = if (skipSkewHeavy) 0L else batchPairsOf(skewHeavyDir)
     sGen.stop()
 
     // ---- headline flagship at full node width: best of fixed trials ----
@@ -189,6 +231,68 @@ object Bench {
       (runs, all)
     }
     if (!skipSkew) graft.util.Tmp.delete(skewDir)
+
+    // ---- skew-heavy regime: conv-keyed ingest + heavy per-turn map -----
+    // The regime the north_star's salting clause exists for (one hot
+    // conversation wholly inside one scan task + real pre-join map work).
+    // Same methodology as the skew block: interleaved trial-outer/
+    // config-inner, fresh session per run, best-of-N.
+    val (skewHeavyRuns, skewHeavyTrials): (Seq[(String, Flagship.Result)], Seq[(String, Flagship.Result)]) =
+      if (skipSkewHeavy) (Seq.empty, Seq.empty) else {
+      val configs: Seq[(String, Boolean, String, Int)] = Seq(
+        ("light_unsalted", false, "fmgws", 0),
+        ("light_salted", false, "fmgws", skewSalt),
+        ("heavy_unsalted", true, "fmgws", 0),
+        ("heavy_salted", true, "fmgws", skewSalt),
+        ("heavy_unsalted_tws", true, "tws", 0),
+        ("heavy_salted_tws", true, "tws", skewSalt))
+      locally { val s = session(8, 16)
+        Flagship.runStaged(s, warmDir, filesPerTrigger = fpt, heavyMap = true); s.stop() }
+      val all: Seq[(String, Flagship.Result)] = (1 to nTrials).flatMap { t =>
+        configs.map { case (name, heavy, eng, saltN) =>
+          val s = session(8, 16)
+          val r = Flagship.runStaged(s, skewHeavyDir, shFps, engine = eng,
+            salt = saltN, heavyMap = heavy)
+          s.stop()
+          System.err.println(f"[bench] skew-heavy $name trial=$t turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs turns=${r.turns} pairs=${r.pairs}")
+          name -> r
+        }
+      }
+      // sanity: identical pairs across configs, near-complete emission
+      val pairsSeen = all.map(_._2.pairs).distinct
+      if (pairsSeen.size > 1)
+        System.err.println(s"[bench] skew-heavy SANITY FAIL: configs disagree on pairs: $pairsSeen")
+      if (all.head._2.pairs.toDouble / shBatchPairs < 0.9)
+        System.err.println(s"[bench] skew-heavy SANITY FAIL: emitted ${all.head._2.pairs} of $shBatchPairs batch pairs")
+      val runs = configs.map { case (name, _, _, _) =>
+        name -> all.collect { case (`name`, r) => r }.maxBy(_.turnsPerSec)
+      }
+      (runs, all)
+    }
+    if (!skipSkewHeavy) graft.util.Tmp.delete(skewHeavyDir)
+
+    // ---- sustained: one long trial per engine, cache sized to state ----
+    val sustainedJson: String =
+      if (sustainedConvs <= 0) "null"
+      else {
+        val sStage = session(cpus)
+        val susDir = Flagship.stage(sStage, sustainedConvs, nFiles = nFiles)
+        val susBatchPairs = graft.streaming.SessionJoin.pairBatch(sStage.read.parquet(susDir)).count()
+        sStage.stop()
+        val rows = Seq("fmgws", "tws").map { eng =>
+          val s = session(cpus, 2 * cpus, blockCacheMB = 2048)
+          val r = Flagship.runStaged(s, susDir, filesPerTrigger = fpt, engine = eng)
+          s.stop()
+          System.err.println(f"[bench] sustained $eng turns=${r.turns} turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms state_rows=${r.maxStateRows} state_bytes=${r.maxStateBytes} pairs=${r.pairs}/$susBatchPairs")
+          s""""$eng":{"turns_per_sec":${f(r.turnsPerSec)},"p99_latency_ms":${r.p99LatencyMs},""" +
+            s""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes},""" +
+            s""""pairs":${r.pairs},"elapsed_sec":${f(r.elapsedSec)}}"""
+        }
+        graft.util.Tmp.delete(susDir)
+        rows.mkString(
+          s"""{"convs":$sustainedConvs,"batch_pairs":$susBatchPairs,"block_cache_mb":2048,""",
+          ",", "}")
+      }
 
     // ---- scaling: per-pair staged input, both levels of each pair ------
     // Data layout and shuffle partitioning IDENTICAL across levels (fixed
@@ -292,18 +396,38 @@ object Bench {
           .mkString(s"""{"convs":$skewConvs,"hot":$hotConvs,"hot_mult":$hotMult,"salt":$skewSalt,""", ",", "}")
       }
     val flagshipTrialsJson = fs(fullTrials.map(_.turnsPerSec))
+    val pairShare = if (inBatchPairs == 0) 0.0 else rFull.pairs.toDouble / inBatchPairs
+    val skewHeavyJson =
+      if (skewHeavyRuns.isEmpty) "null"
+      else {
+        val bests = skewHeavyRuns.map { case (n, r) =>
+          s""""$n":{"turns_per_sec":${f(r.turnsPerSec)},"p99_latency_ms":${r.p99LatencyMs},""" +
+            s""""elapsed_sec":${f(r.elapsedSec)},"turns":${r.turns},"pairs":${r.pairs}}"""
+        }
+        val trials = skewHeavyRuns.map { case (n, _) =>
+          s""""$n":${fs(skewHeavyTrials.collect { case (`n`, r) => r.turnsPerSec })}"""
+        }.mkString(""""trials_tps":{""", ",", "}")
+        (bests :+ trials).mkString(
+          s"""{"convs":$shConvs,"hot":$shHot,"hot_mult":$shMult,"salt":$skewSalt,""" +
+            s""""slices":$shSlices,"files_per_slice":$shFps,"keyed_by_conv":true,""" +
+            s""""batch_pairs":$shBatchPairs,""", ",", "}")
+      }
     val detail =
       s"""{"sf":"$sfDir","cpus":$cpus,"n_convs":$nConvs,"scale_base_convs":$scaleBase,"n_files":$nFiles,"fpt":$fpt,""" +
         s""""trials_per_level":$nTrials,"total_query_sec":${f(total)},"failed_queries":$nFailed,""" +
         s""""queries":$qs,""" +
         s""""flagship_trials_tps":$flagshipTrialsJson,""" +
-        s""""flagship_best":{"turns":${rFull.turns},"pairs":${rFull.pairs},"turns_per_sec":${f(rFull.turnsPerSec)},""" +
+        s""""flagship_best":{"turns":${rFull.turns},"pairs":${rFull.pairs},"batch_pairs":$inBatchPairs,""" +
+        s""""pair_share":${f(pairShare)},"watermark_at_shutdown_ms":${rFull.watermarkMs},""" +
+        s""""turns_per_sec":${f(rFull.turnsPerSec)},""" +
         s""""elapsed_sec":${f(rFull.elapsedSec)},"p99_latency_ms":${rFull.p99LatencyMs},""" +
         s""""max_state_rows":${rFull.maxStateRows},"max_state_bytes":${rFull.maxStateBytes}},""" +
         s""""latency_cfg":{"fpt":$latFpt,"turns_per_sec":${f(rLat.turnsPerSec)},"p99_latency_ms":${rLat.p99LatencyMs}},""" +
         s""""scaling_trials_tps":$levelsJson,""" +
         s""""scaling_pairs":${pairJsons.mkString("[", ",", "]")},""" +
-        s""""skew":$skewJson}"""
+        s""""skew":$skewJson,""" +
+        s""""skew_heavy":$skewHeavyJson,""" +
+        s""""sustained":$sustainedJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -315,11 +439,15 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
         s""""failed_queries":$nFailed,"detail":"$detailPath",""" +
         s""""flagship":{"cores":$cpus,"turns":${rFull.turns},"pairs":${rFull.pairs},""" +
+        s""""batch_pairs":$inBatchPairs,"pair_share":${f(pairShare)},""" +
+        s""""watermark_at_shutdown_ms":${rFull.watermarkMs},""" +
         s""""turns_per_sec":${f(rFull.turnsPerSec)},"trials_tps":$flagshipTrialsJson,""" +
         s""""p99_latency_ms":${rFull.p99LatencyMs},"max_state_rows":${rFull.maxStateRows},""" +
         s""""max_state_bytes":${rFull.maxStateBytes},""" +
         s""""latency_cfg":{"fpt":$latFpt,"turns_per_sec":${f(rLat.turnsPerSec)},"p99_latency_ms":${rLat.p99LatencyMs}}},""" +
         s""""scaling":${pairJsons.mkString("[", ",", "]")},""" +
-        s""""skew":${if (skewRuns.isEmpty) "null" else skewRuns.map { case (n, r) => s""""$n":${f(r.turnsPerSec)}""" }.mkString(s"""{"hot":$hotConvs,"hot_mult":$hotMult,""", ",", "}")}}""")
+        s""""skew":${if (skewRuns.isEmpty) "null" else skewRuns.map { case (n, r) => s""""$n":${f(r.turnsPerSec)}""" }.mkString(s"""{"hot":$hotConvs,"hot_mult":$hotMult,""", ",", "}")},""" +
+        s""""skew_heavy":${if (skewHeavyRuns.isEmpty) "null" else skewHeavyRuns.map { case (n, r) => s""""$n":${f(r.turnsPerSec)}""" }.mkString("{", ",", "}")},""" +
+        s""""sustained":${if (sustainedConvs <= 0) "null" else sustainedJson}}""")
   }
 }

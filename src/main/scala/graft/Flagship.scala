@@ -92,6 +92,25 @@ object Flagship {
         if (keyedByConv) ds.repartition(nFiles, col("conv_id"))
         else ds.orderBy(col("ts")).coalesce(nFiles)
       laid.write.parquet(inDir)
+      // One parallel write job gives every part file the SAME mtime, and
+      // FileStreamSource replays by mtime — so the "time-ordered" layout
+      // actually replayed in arbitrary order (part-NNNNN numbering does
+      // NOT follow the sort's range order under AQE): an early trigger
+      // could carry the global max ts, late-dropping later triggers' rows
+      // at the state stage and (watermark already maxed) suppressing the
+      // final no-data batch that flushes the tail. Stamp strictly
+      // increasing mtimes in ACTUAL per-file event-time order.
+      if (!keyedByConv) {
+        val order = spark.read.parquet(inDir)
+          .groupBy(input_file_name().as("f")).agg(min(col("ts")).as("mn"))
+          .orderBy(col("mn")).collect().map(_.getString(0))
+        val base = System.currentTimeMillis() - order.length * 1000L
+        order.zipWithIndex.foreach { case (uri, i) =>
+          val p = java.nio.file.Paths.get(java.net.URI.create(uri))
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+        }
+      }
     }
     inDir
   }
@@ -164,7 +183,20 @@ object Flagship {
 
     val nTurns = metrics.totalInputRows
     val nPairs = Sink.readCommitted(spark, s"$work/out").count()
+    if (sys.env.contains("SPARK_GRAFT_BATCH_DEBUG"))
+      Sink.readCommitted(spark, s"$work/out").groupBy("_batch_id").count()
+        .orderBy(col("_batch_id")).collect()
+        .foreach(r => System.err.println(s"[flagship-emit] batch=${r.get(0)} pairs=${r.get(1)}"))
     val snaps = metrics.snapshots
+    // per-batch visibility for scaling analysis (stderr only, opt-in)
+    if (sys.env.contains("SPARK_GRAFT_BATCH_DEBUG"))
+      snaps.foreach { s =>
+        System.err.println(s"[flagship-batch] batch=${s.batchId} rows=${s.inputReceived} " +
+          s"trigger_ms=${s.batchLatencyMs} addBatch_ms=${s.durations.getOrElse("addBatch", -1L)} " +
+          s"plan_ms=${s.durations.getOrElse("queryPlanning", -1L)} " +
+          s"wal_ms=${s.durations.getOrElse("walCommit", 0L) + s.durations.getOrElse("commitOffsets", 0L)} " +
+          s"stateRows=${s.stateRows}")
+      }
     spark.streams.removeListener(metrics)
     // This run's state-store providers are dead the moment the query
     // stops (the checkpoint is single-use), but they stay in the
@@ -216,7 +248,17 @@ object Flagship {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = runStaged(spark, stage(spark, nConvs, nFiles), filesPerTrigger, engine)
+    val inDir = stage(spark, nConvs, nFiles)
+    val r = runStaged(spark, inDir, filesPerTrigger, engine)
+    // ground-truth emission check (opt-in): compare the streamed pair
+    // count against the batch (window-function) form on the same input
+    if (sys.env.contains("SPARK_GRAFT_PAIR_CHECK")) {
+      val bp = graft.streaming.SessionJoin.pairBatch(spark.read.parquet(inDir)).count()
+      System.err.println(f"[flagship] pair check: emitted=${r.pairs} batch=$bp share=${r.pairs.toDouble / bp}%.4f")
+    }
+    // where the per-batch serial driver term goes (scaling analysis)
+    System.err.println("[flagship] duration totals ms: " +
+      r.durationTotals.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=$v" }.mkString(" "))
     println(f"""{"turns":${r.turns},"pairs":${r.pairs},"elapsed_sec":${r.elapsedSec}%.2f,""" +
       f""""turns_per_sec":${r.turnsPerSec}%.0f,"p99_latency_ms":${r.p99LatencyMs},""" +
       f""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes},""" +
