@@ -69,8 +69,13 @@ object Proto {
 
   final case class EnumDesc(fq: String, byName: Map[String, Int], byNum: Map[Int, String])
 
-  /** A compiled, serializable schema set (closure-captured by the UDFs). */
-  final case class FileSet(messages: Map[String, MessageDesc], enums: Map[String, EnumDesc]) {
+  /** A compiled, serializable schema set (closure-captured by the UDFs).
+    * `topLevel` lists top-level message fqs in declaration order — the
+    * order Confluent schema-registry protobuf message-indexes address
+    * (SchemaRegistry.decodeProc).
+    */
+  final case class FileSet(messages: Map[String, MessageDesc], enums: Map[String, EnumDesc],
+      topLevel: Seq[String] = Nil) {
     def message(fq: String): MessageDesc =
       messages.getOrElse(fq, throw new IllegalArgumentException(s"unknown message type $fq"))
   }
@@ -95,8 +100,9 @@ object Proto {
     msgs += "google.protobuf.Any" -> MessageDesc("google.protobuf.Any",
       Seq(Field("type_url", "typeUrl", 1, repeated = false, TString),
         Field("value", "value", 2, repeated = false, TBytes)))
-    sources.foreach { src => parseFile(src, msgs, enums) }
-    val fs = FileSet(msgs.result(), enums.result())
+    val top = Seq.newBuilder[String]
+    sources.foreach { src => parseFile(src, msgs, enums, top) }
+    val fs = FileSet(msgs.result(), enums.result(), top.result())
     resolveTypeRefs(fs)
   }
 
@@ -137,7 +143,8 @@ object Proto {
 
   private def parseFile(src: String,
       msgs: scala.collection.mutable.Builder[(String, MessageDesc), Map[String, MessageDesc]],
-      enums: scala.collection.mutable.Builder[(String, EnumDesc), Map[String, EnumDesc]]): Unit = {
+      enums: scala.collection.mutable.Builder[(String, EnumDesc), Map[String, EnumDesc]],
+      topLevel: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
     val t = tokenize(src)
     var pos = 0
     var pkg = ""
@@ -230,7 +237,9 @@ object Proto {
       next() match {
         case "syntax" | "import" | "option" | "service" => pos -= 1; skipStatement()
         case "package" => pkg = next(); expect(";")
-        case "message" => parseMessage(pkg)
+        case "message" =>
+          topLevel += (if (pkg.isEmpty) peek else s"$pkg.$peek")
+          parseMessage(pkg)
         case "enum" => parseEnum(pkg)
         case ";" => ()
         case other => throw new IllegalArgumentException(s"unexpected top-level token '$other'")
@@ -268,7 +277,7 @@ object Proto {
         }
       })
     }
-    FileSet(msgs, fs.enums)
+    FileSet(msgs, fs.enums, fs.topLevel)
   }
 
   // ------------------------------------------------------------ wire encode

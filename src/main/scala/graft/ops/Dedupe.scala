@@ -211,9 +211,12 @@ object Dedupe {
     * scale (transitive chains). This algorithm converges in O(log² n)
     * rounds — O(log n) observed — where each round is two hash shuffles
     * over a two-long-column edge set; no component is ever materialized
-    * on one task, no driver-side graph. Per-round `localCheckpoint`
-    * truncates the iterative lineage; convergence is detected by an
-    * order-insensitive (count, xxhash64-sum) signature of the edge set.
+    * on one task, no driver-side graph. Per-round LAZY `localCheckpoint`s
+    * truncate the iterative lineage and are materialized by the same
+    * single action that computes the round's convergence signature (an
+    * order-insensitive (count, xxhash64-xor) of the edge set) — ONE
+    * driver round-trip per round, not four; the large-star identity is
+    * confirmed with one extra action only on the round that converges.
     *
     * Star steps (each preserves components; fixpoint = star graphs rooted
     * at the component min):
@@ -266,10 +269,15 @@ object Dedupe {
     var iter = 0
     var sigE = sig(e)
     while (!converged && iter < maxIter) {
-      val l = largeStar(e).localCheckpoint()
-      val s = smallStar(l).localCheckpoint()
-      val (sigL, sigS) = (sig(l), sig(s))
-      converged = sigL == sigE && sigS == sigE
+      // lazy checkpoints: sig(s) is the round's ONLY action — computing
+      // s's checkpoint pulls l's through, so both materialize in one job
+      val l = largeStar(e).localCheckpoint(false)
+      val s = smallStar(l).localCheckpoint(false)
+      val sigS = sig(s)
+      // s == e means smallStar∘largeStar is identity on e's signature;
+      // confirm largeStar was identity too (guards a would-be 2-cycle
+      // where the composition is stable but l != e) — final round only
+      converged = sigS == sigE && sig(l) == sigE
       e = s
       sigE = sigS
       iter += 1

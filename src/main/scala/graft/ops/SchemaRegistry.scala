@@ -6,12 +6,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.{ConcurrentHashMap, Executors}
 import java.util.concurrent.atomic.AtomicInteger
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 
-import graft.blob.Avro
+import graft.blob.{Avro, Proto}
 
 /** schema_registry_{encode,decode} processors (SURVEY.md §2.4; reference:
   * internal/impl/confluent/processor_schema_registry_decode.go,
@@ -66,16 +66,68 @@ object SchemaRegistry {
     ((b(1) & 0xff) << 24) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 8) | (b(4) & 0xff)
   }
 
+  /** Confluent protobuf message-index path (wire_format.go analogue /
+    * ProtobufSchemaSerializer): after the schema id comes a zigzag-varint
+    * array — count, then each index into the schema's (nested) message
+    * declarations — with the single-byte `0x00` shorthand for the first
+    * top-level message. Returns (message fq, payload offset). Only
+    * depth-1 paths are supported (indexing top-level declarations);
+    * nested-message paths error with a clear message.
+    */
+  def protoMessageAt(fs: Proto.FileSet, b: Array[Byte], off0: Int): (String, Int) = {
+    var off = off0
+    def zigzagVarint(): Long = {
+      var sh = 0; var v = 0L
+      while (true) {
+        if (off >= b.length) throw new IllegalArgumentException("message truncated in index path")
+        val x = b(off); off += 1
+        v |= (x & 0x7fL) << sh
+        if ((x & 0x80) == 0) return (v >>> 1) ^ -(v & 1)
+        sh += 7
+      }
+      0L // unreachable
+    }
+    val count = zigzagVarint()
+    val path: Seq[Long] = if (count == 0) Seq(0L) else Seq.fill(count.toInt)(zigzagVarint())
+    if (path.length > 1)
+      throw new IllegalArgumentException("nested protobuf message indexes not supported")
+    val idx = path.head.toInt
+    if (idx < 0 || idx >= fs.topLevel.length)
+      throw new IllegalArgumentException(s"message index $idx out of range for schema")
+    (fs.topLevel(idx), off)
+  }
+
+  /** Encode-side framing: first-message shorthand index byte + payload. */
+  def frameProto(id: Int, body: Array[Byte]): Array[Byte] = {
+    val withIdx = new Array[Byte](body.length + 1)
+    System.arraycopy(body, 0, withIdx, 1, body.length)
+    frame(id, withIdx)
+  }
+
   // ------------------------------------------------------- registry client
 
   private val mapper = new ObjectMapper()
 
+  /** A fetched schema: Avro (the default type) or protobuf — the
+    * reference dispatches the same way on the registry's schemaType
+    * (processor_schema_registry_decode.go getDecoder; the protobuf path
+    * compiles the .proto source the registry serves).
+    */
+  private type RegSchema = Either[Avro.AType, Proto.FileSet]
+
+  private def parseRegSchema(tree: JsonNode): RegSchema =
+    Option(tree.get("schemaType")).map(_.asText()).getOrElse("AVRO") match {
+      case "AVRO" => Left(Avro.parseSchema(tree.get("schema").asText()))
+      case "PROTOBUF" => Right(Proto.compile(Seq(tree.get("schema").asText())))
+      case t => throw new IllegalArgumentException(s"schema type $t not supported")
+    }
+
   // JVM-global caches — the executor-process analogue of the reference's
   // per-processor maps (decode.go:73-75). Key includes the registry url so
   // two registries never collide.
-  private val decodeCache = new ConcurrentHashMap[(String, Int), Avro.AType]()
+  private val decodeCache = new ConcurrentHashMap[(String, Int), RegSchema]()
   private val encodeCache =
-    new ConcurrentHashMap[(String, String), (Int, Avro.AType, Long)]()
+    new ConcurrentHashMap[(String, String), (Int, RegSchema, Long)]()
 
   private def newClient(): JHttpClient =
     JHttpClient.newBuilder().version(JHttpClient.Version.HTTP_1_1).build()
@@ -110,14 +162,14 @@ object SchemaRegistry {
 
   private final class Terminal(msg: String) extends RuntimeException(msg)
 
-  private def schemaById(client: JHttpClient, registryUrl: String, id: Int): Avro.AType =
+  private def schemaById(client: JHttpClient, registryUrl: String, id: Int): RegSchema =
     decodeCache.computeIfAbsent((registryUrl, id), { _ =>
       val body = fetch(client, s"$registryUrl/schemas/ids/$id", s"schema '$id'")
-      Avro.parseSchema(mapper.readTree(body).get("schema").asText())
+      parseRegSchema(mapper.readTree(body))
     })
 
   private def latestBySubject(client: JHttpClient, registryUrl: String,
-      subject: String, refreshMs: Long): (Int, Avro.AType) = {
+      subject: String, refreshMs: Long): (Int, RegSchema) = {
     // compute() is atomic per key — the single-flight mutex of the
     // reference's cachedSchemaEncoder (encode.go:240-283): concurrent
     // partitions missing the same subject trigger exactly one fetch
@@ -128,7 +180,7 @@ object SchemaRegistry {
         val body = fetch(client, s"$registryUrl/subjects/$subject/versions/latest",
           s"schema subject '$subject'")
         val tree = mapper.readTree(body)
-        (tree.get("id").asInt(), Avro.parseSchema(tree.get("schema").asText()), now)
+        (tree.get("id").asInt(), parseRegSchema(tree), now)
       }
     })
     (v._1, v._2)
@@ -161,10 +213,15 @@ object SchemaRegistry {
           val vals = row.toSeq.toArray
           try {
             val id = extractId(wire)
-            val sch = schemaById(client, registryUrl, id)
-            val node = Avro.decodeBinary(sch,
-              java.util.Arrays.copyOfRange(wire, 5, wire.length))
-            vals(oIdx) = Avro.textual(node)
+            vals(oIdx) = schemaById(client, registryUrl, id) match {
+              case Left(avro) =>
+                Avro.textual(Avro.decodeBinary(avro,
+                  java.util.Arrays.copyOfRange(wire, 5, wire.length)))
+              case Right(pfs) =>
+                val (fq, payloadOff) = protoMessageAt(pfs, wire, 5)
+                Proto.decodeMessage(pfs, fq,
+                  java.util.Arrays.copyOfRange(wire, payloadOff, wire.length)).toString
+            }
             vals(eIdx) = null
           } catch {
             case e: Exception => vals(eIdx) = e.getMessage
@@ -199,7 +256,13 @@ object SchemaRegistry {
           if (doc != null) {
             try {
               val (id, sch) = latestBySubject(client, registryUrl, subject, refreshMs)
-              vals(oIdx) = frame(id, Avro.encodeStandardJson(sch, mapper.readTree(doc)))
+              vals(oIdx) = sch match {
+                case Left(avro) => frame(id, Avro.encodeStandardJson(avro, mapper.readTree(doc)))
+                case Right(pfs) =>
+                  val fq = pfs.topLevel.headOption.getOrElse(
+                    throw new IllegalArgumentException("protobuf schema declares no message"))
+                  frameProto(id, Proto.encodeMessage(pfs, fq, mapper.readTree(doc)))
+              }
               vals(eIdx) = null
             } catch {
               case e: Exception => vals(eIdx) = e.getMessage
@@ -221,7 +284,7 @@ object SchemaRegistry {
     * path — the specs pin the once-per-JVM cache discipline with it.
     */
   final class Registry(schemas: Map[Int, String], subjects: Map[String, Int],
-      failIds: Set[Int]) {
+      failIds: Set[Int], schemaTypes: Map[Int, String] = Map.empty) {
     val hits = new ConcurrentHashMap[String, AtomicInteger]()
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 16)
     server.setExecutor(Executors.newCachedThreadPool { r =>
@@ -237,14 +300,17 @@ object SchemaRegistry {
           case IdPath(id) =>
             val i = id.toInt
             if (failIds(i)) Left(500)
-            else schemas.get(i).toRight(404).map(s =>
-              mapper.writeValueAsString(
-                mapper.createObjectNode().put("schema", s)))
+            else schemas.get(i).toRight(404).map { s =>
+              val node = mapper.createObjectNode().put("schema", s)
+              schemaTypes.get(i).foreach(node.put("schemaType", _))
+              mapper.writeValueAsString(node)
+            }
           case SubjPath(subj) =>
             subjects.get(subj).flatMap(id => schemas.get(id).map(id -> _))
               .toRight(404).map { case (id, s) =>
-                mapper.writeValueAsString(
-                  mapper.createObjectNode().put("id", id).put("schema", s))
+                val node = mapper.createObjectNode().put("id", id).put("schema", s)
+                schemaTypes.get(id).foreach(node.put("schemaType", _))
+                mapper.writeValueAsString(node)
               }
           case _ => Left(404)
         }
@@ -270,8 +336,8 @@ object SchemaRegistry {
   }
 
   def startRegistry(schemas: Map[Int, String], subjects: Map[String, Int] = Map.empty,
-      failIds: Set[Int] = Set.empty): Registry =
-    new Registry(schemas, subjects, failIds)
+      failIds: Set[Int] = Set.empty, schemaTypes: Map[Int, String] = Map.empty): Registry =
+    new Registry(schemas, subjects, failIds, schemaTypes)
 
   // ------------------------------------------------------------ turns demo
 
@@ -287,9 +353,20 @@ object SchemaRegistry {
       |{"name":"tool","type":["null","string"],"default":null}]}"""
       .stripMargin.replace("\n", "")
 
-  /** JVM-lifetime registry for the oracle query (the stand-in for the
+  /** The same record as a proto3 schema — backs the registry's PROTOBUF
+    * variant (`q_schema_registry_proto`). proto3 omits default values
+    * (turn_idx 0, absent tool), which the oracle accounts for.
+    */
+  val TurnsProtoSchema: String =
+    """syntax = "proto3"; package graft.demo;
+      |message Turn { string conv_id = 1; int64 turn_idx = 2; string role = 3; string tool = 4; }"""
+      .stripMargin.replace("\n", " ")
+
+  /** JVM-lifetime registry for the oracle queries (the stand-in for the
     * external registry service, like [[graft.sources.Http.echoUpperUrl]]).
     */
   lazy val turnsRegistryUrl: String =
-    startRegistry(Map(7 -> TurnsSchema), Map("turns" -> 7)).url
+    startRegistry(Map(7 -> TurnsSchema, 8 -> TurnsProtoSchema),
+      Map("turns" -> 7, "turns-proto" -> 8),
+      schemaTypes = Map(8 -> "PROTOBUF")).url
 }

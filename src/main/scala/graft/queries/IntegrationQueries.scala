@@ -136,6 +136,28 @@ object IntegrationQueries {
         col(Errors.ErrCol).as("err"))
     }),
 
+    // schema_registry PROTOBUF variant (processor_schema_registry_*.go
+    // schemaType dispatch): same round-trip under the registry's proto3
+    // schema — Confluent frame + message-index byte + proto wire. proto3
+    // omits default values, so turn_idx 0 and null tool cost 0 bytes and
+    // decode back as absent JSON fields (coalesced in the projection).
+    "q_schema_registry_proto" -> ((s, dir) => {
+      import graft.ops.SchemaRegistry
+      val url = SchemaRegistry.turnsRegistryUrl
+      val df = Tables.transcripts(s, dir)
+        .withColumn("doc", to_json(struct(
+          col("conv_id"), col("turn_idx"), col("role"), col("tool"))))
+      val enc = SchemaRegistry.encodeProc(df, url, "turns-proto", jsonCol = "doc")
+      val dec = SchemaRegistry.decodeProc(enc, url)
+      dec.select(col("conv_id"), col("turn_idx"),
+        get_json_object(col("decoded"), "$.role").as("rt_role"),
+        get_json_object(col("decoded"), "$.tool").as("rt_tool"),
+        coalesce(get_json_object(col("decoded"), "$.turnIdx"), lit("0"))
+          .cast("int").as("rt_turn_idx"),
+        length(col("wire")).as("wire_len"),
+        col(Errors.ErrCol).as("err"))
+    }),
+
     // awk processor, json codec (internal/old/processor/awk.go:792-801):
     // the document flattens into AWK variables; the program's stdout
     // replaces it. One interpreter per message by construction — fork cost
@@ -234,6 +256,21 @@ object IntegrationQueries {
         |            WHEN turn_idx < 8192 THEN 2 ELSE 3 END)
         |    + 1 + length(role) + 1
         |    + (CASE WHEN tool IS NULL THEN 0 ELSE 1 + length(tool) END)
+        |    AS INT) AS wire_len,
+        |  CAST(NULL AS VARCHAR) AS err
+        |FROM transcripts""".stripMargin),
+    // proto wire: 5-byte confluent frame + 1 index byte; tag+len+bytes per
+    // string field; int64 varint for turn_idx; proto3 default omission
+    // (turn_idx = 0, NULL tool contribute nothing).
+    "q_schema_registry_proto" -> (T +
+      """SELECT conv_id, turn_idx, role AS rt_role, tool AS rt_tool,
+        |  CAST(turn_idx AS INT) AS rt_turn_idx,
+        |  CAST(6 + 2 + length(conv_id)
+        |    + (CASE WHEN turn_idx = 0 THEN 0
+        |            WHEN turn_idx < 128 THEN 2
+        |            WHEN turn_idx < 16384 THEN 3 ELSE 4 END)
+        |    + 2 + length(role)
+        |    + (CASE WHEN tool IS NULL THEN 0 ELSE 2 + length(tool) END)
         |    AS INT) AS wire_len,
         |  CAST(NULL AS VARCHAR) AS err
         |FROM transcripts""".stripMargin),

@@ -133,6 +133,41 @@ class SchemaRegistrySpec extends SparkTestBase {
       "{\"a\":[1,-3,4096],\"b\":\" \\u00ff!\",\"e\":\"HEARTS\",\"f\":\"abcd\",\"m\":{\"x\":{\"double\":1.5},\"y\":null}}")
   }
 
+  test("protobuf variant: golden wire bytes + round-trip via schemaType dispatch") {
+    // reference: processor_schema_registry_{encode,decode}.go dispatch on
+    // the registry's schemaType; protobuf wire = confluent frame + zigzag
+    // message-index path (0x00 shorthand for the first message) + proto3
+    val protoSchema =
+      """syntax = "proto3"; message Person { string name = 1; int64 age = 2; }"""
+    val reg = SchemaRegistry.startRegistry(
+      Map(9 -> protoSchema), subjects = Map("person" -> 9),
+      schemaTypes = Map(9 -> "PROTOBUF"))
+    try {
+      val df = spark.createDataFrame(Seq(
+        1 -> """{"name":"foo","age":"42"}""",
+        2 -> """{"name":"x"}""")).toDF("id", "text")
+      val enc = SchemaRegistry.encodeProc(df, reg.url, "person")
+      val out = enc.select("id", "wire", Errors.ErrCol).collect()
+        .map(r => r.getInt(0) -> (r.getAs[Array[Byte]](1), r.getString(2))).toMap
+      // hand-assembled: magic 0, id 9 BE, index byte 0, then
+      // (tag 0x0a, len 3, "foo") (tag 0x10, varint 42)
+      assert(out(1)._1.toSeq === Seq[Byte](0, 0, 0, 0, 9, 0,
+        0x0a, 3, 'f', 'o', 'o', 0x10, 42))
+      assert(out(2)._1.toSeq === Seq[Byte](0, 0, 0, 0, 9, 0, 0x0a, 1, 'x'))
+      val dec = SchemaRegistry.decodeProc(enc, reg.url)
+        .select("id", "decoded").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(dec(1) === """{"name":"foo","age":"42"}""")
+      assert(dec(2) === """{"name":"x"}""") // proto3 default omission
+      // explicit non-zero index path [0] (count 1, index 0 zigzag) decodes too
+      val explicitIdx = spark.createDataFrame(Seq(
+        3 -> (Array[Byte](0, 0, 0, 0, 9, 2, 0, 0x0a, 1, 'x')))).toDF("id", "wire")
+      val dec2 = SchemaRegistry.decodeProc(explicitIdx, reg.url)
+        .select("decoded").head().getString(0)
+      assert(dec2 === """{"name":"x"}""")
+    } finally reg.stop()
+  }
+
   test("wire frame: extractID error shapes (decode.go:181-193)") {
     assert(SchemaRegistry.extractId(Array[Byte](0, 0, 0, 1, 2, 9)) === 258)
     val e1 = intercept[IllegalArgumentException](
