@@ -101,7 +101,8 @@ object MicroBench {
     val blProgram =
       """root.shout = this.text.uppercase()
         |root.n_words = this.text.split(" ").length()
-        |root.tag = match this.role { "user" => "U", _ => "T" }""".stripMargin
+        |root.tag = match this.role { "user" => "U", _ => "T" }
+        |root.score = (this.text.length() / 10).round()""".stripMargin
     val frames = texts
       .selectExpr("id", "text",
         "CASE WHEN id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role")
@@ -131,6 +132,20 @@ object MicroBench {
         texts.withColumn("tok", expr("graft_token_count(text)").cast("long")),
         col("id"), col("tok"), budget = 2048, nShards = 128, strata = lit("all"))
         .select(sum(col("pack_last"))).head().getLong(0)
+    }
+    // awk execution modes on 5k rows: fresh process per message (the
+    // faithful default) vs the pooled per-partition worker (same fresh
+    // interpreter per message, dispatch through one long-lived sh)
+    val awkRows = texts.limit(5000)
+      .repartition(8).cache()
+    awkRows.count()
+    time("awk fresh-process (5k)") {
+      graft.ops.Awk.proc(awkRows, "{ print $2 }", "text")
+        .select(count(col("text"))).head().getLong(0)
+    }
+    time("awk pooled worker (5k)") {
+      graft.ops.Awk.proc(awkRows, "{ print $2 }", "text", pooled = true)
+        .select(count(col("text"))).head().getLong(0)
     }
     spark.stop()
   }

@@ -111,7 +111,15 @@ object Bloblang {
           i += 1; if (i < n && (src.charAt(i) == '+' || src.charAt(i) == '-')) i += 1
           while (i < n && src.charAt(i).isDigit) i += 1
         }
-        emit(TNum(src.substring(s, i)))
+        val numText = src.substring(s, i)
+        // digit-leading identifiers: `this.analytics.install.30d.benthos`
+        // (track_benthos_downloads.yaml) — a digit run flowing straight
+        // into ident chars is a path segment, not a number (was a syntax
+        // error before, so nothing legal changes meaning)
+        if (i < n && isIdent(src.charAt(i)) && !numText.contains('.')) {
+          while (i < n && isIdent(src.charAt(i))) i += 1
+          emit(TIdent(src.substring(s, i)))
+        } else emit(TNum(numText))
       } else if (c == '"') {
         val b = new StringBuilder; i += 1
         while (i < n && src.charAt(i) != '"') {

@@ -12,25 +12,40 @@ import org.apache.spark.sql.types._
   * sharing one DuckDB oracle.
   *
   * Translatable subset (bail → None, caller falls back to the interpreter):
-  *  - statements: `root.<name> = <expr>` and `let` bindings (inlined);
+  *  - statements: `root.<path> = <expr>` — including NESTED paths
+  *    (`root.a.b = …` builds a struct column `a` from all its leaf
+  *    assignments, declaration-ordered, last-write-wins) — and `let`
+  *    bindings (inlined);
   *  - exprs: literals, input-column paths (typed from the DataFrame
-  *    schema), arithmetic/comparison/boolean operators, if/else chains,
-  *    match with literal or predicate cases + a default, `env()` resolved
-  *    at compile time;
+  *    schema; a path of ANY Spark type compiles as an opaque pass-through
+  *    copy — `root.article = this.article` works for structs/arrays,
+  *    though no operator or method may touch the opaque value),
+  *    arithmetic/comparison/boolean operators, if/else chains (if WITHOUT
+  *    else compiles too: the interpreter omits the field, the columnar
+  *    shape is null — equivalent under JSON-path reads, which is the
+  *    compare contract), match with literal or predicate cases (default
+  *    optional, same omission-to-null mapping), `env()` resolved at
+  *    compile time;
   *  - methods with exact Column twins: uppercase, lowercase, trim(),
   *    length, contains, has_prefix/has_suffix, split, join, replace_all,
   *    re_replace_all, re_match, slice (non-negative literal bounds),
   *    string() (long/bool only — double formatting differs), abs, floor,
-  *    ceil.
+  *    ceil, round (compiled as floor(x+0.5) to match the interpreter's
+  *    math.round — half-up-toward-+inf, NOT Spark round()'s
+  *    half-away-from-zero, which differs at negative .5), number() on
+  *    numeric targets (identity) and on strings (cast to double; with a
+  *    fallback arg the cast-null coalesces to it, mirroring the
+  *    interpreter's parse-failure fallback).
   *
   * Deliberate non-goals (always interpreted): error-flow (`catch`/`or`/
-  * pipe — Catalyst nulls are not Bloblang errors), Nothing-producing
-  * forms (if-without-else, match-without-default: field omission has no
-  * columnar shape), doc-structural ops (root =, nested paths, map_each,
-  * apply), meta writes, and number()/round() (parse/rounding semantics
-  * differ). `&&`/`||` compile, but Catalyst three-valued logic treats a
-  * NULL operand as NULL where the interpreter raises — callers compiling
-  * programs over nullable boolean columns should keep the interpreter.
+  * pipe — Catalyst nulls are not Bloblang errors), doc-structural ops
+  * (root =, map_each, apply), meta writes. Documented deltas inside the
+  * subset: `&&`/`||` compile but Catalyst three-valued logic treats a
+  * NULL operand as NULL where the interpreter raises; `number()` on an
+  * unparseable string with NO fallback yields null where the interpreter
+  * raises, and always produces double where the interpreter keeps
+  * integral strings as longs — callers needing those exact error/type
+  * semantics keep the interpreter.
   */
 object BloblangCompiler {
   import Bloblang._
@@ -41,6 +56,9 @@ object BloblangCompiler {
   private case object TDoubleT extends BT
   private case object TBoolT extends BT
   private case object TArrStrT extends BT
+  // opaque pass-through: any Spark type copied whole (structs, arrays,
+  // maps, timestamps). Assignable, never operated on.
+  private case object TAnyT extends BT
   private final case class Typed(col: Column, t: BT)
 
   private final class Bail extends RuntimeException
@@ -56,37 +74,69 @@ object BloblangCompiler {
     try {
       val stmts = Bloblang.parseStmts(program)
       var vars = Map.empty[String, Typed]
-      val out = Vector.newBuilder[(String, Column)]
+      val assigns = Vector.newBuilder[(Vector[String], Column)]
       stmts.foreach {
         case LetStmt(name, e, _) => vars = vars + (name -> cExpr(e, schema, vars, env))
-        case Assign(path, e, _) if path.length == 1 =>
-          // assigned names must not shadow input columns: the interpreter's
-          // root is a separate document, withColumn would overwrite
-          if (schema.fieldNames.contains(path.head)) bail()
-          out += path.head -> cExpr(e, schema, vars, env).col
+        case Assign(path, e, _) if path.nonEmpty =>
+          assigns += path -> cExpr(e, schema, vars, env).col
         case _ => bail()
       }
-      val r = out.result()
-      if (r.isEmpty) None else Some(r)
+      val all = assigns.result()
+      if (all.isEmpty) None
+      else {
+        // nested paths build struct columns: group leaf assignments under
+        // their top-level name (first-assignment order), last write wins
+        val order = all.map(_._1.head).distinct
+        Some(order.map { top =>
+          top -> buildNode(all.collect { case (p, c) if p.head == top => (p.tail.toList, c) })
+        })
+      }
     } catch {
       case _: Bail => None
       case _: BloblangError => None
     }
   }
 
-  /** df → df plus the program's root fields as native columns. */
+  /** df → df plus the program's root fields as native columns. ONE select
+    * against the original frame — not a withColumn chain — so an assigned
+    * name that collides with an input column replaces it in the output
+    * while every OTHER compiled expression still reads the original input
+    * (the interpreter's `this` is always the input doc, never the
+    * partially-built root).
+    */
   def stage(program: String, schema: StructType,
       env: Map[String, String] = Map.empty): Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
     tryCompile(program, schema, env).map { cols => df =>
-      cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+      val assigned = cols.map(_._1).toSet
+      val kept = df.schema.fieldNames.filterNot(assigned).map(col(_))
+      df.select(kept ++ cols.map { case (n, c) => c.as(n) }: _*)
     }
+
+  /** One node of the nested-assignment tree: a leaf is the (last) column
+    * assigned at this exact path; an interior node is a struct of its
+    * children in first-assignment order. Mixing a value and children at
+    * one path (`root.a = 1` + `root.a.b = 2`) bails — the interpreter
+    * resolves that dynamically (gabs-style overwrite), a static struct
+    * column cannot.
+    */
+  private def buildNode(items: Seq[(List[String], Column)]): Column = {
+    val (leaves, nested) = items.partition(_._1.isEmpty)
+    if (leaves.nonEmpty && nested.nonEmpty) bail()
+    if (nested.isEmpty) leaves.last._2
+    else {
+      val order = nested.map(_._1.head).distinct
+      struct(order.map { k =>
+        buildNode(nested.collect { case (p, c) if p.head == k => (p.tail, c) }).as(k)
+      }: _*)
+    }
+  }
 
   private def fieldType(dt: DataType): BT = dt match {
     case StringType => TStrT
     case LongType | IntegerType | ShortType | ByteType => TLongT
     case DoubleType | FloatType => TDoubleT
     case BooleanType => TBoolT
-    case _ => bail()
+    case _ => TAnyT // opaque pass-through copy
   }
 
   private def pathOf(e: Expr): Option[Vector[String]] = e match {
@@ -122,7 +172,9 @@ object BloblangCompiler {
             case _ => bail()
           }
         }
-        Typed(col(segs.mkString(".")), fieldType(dt))
+        // backtick each segment: names like `30d` would otherwise parse
+        // as something else entirely (track_benthos_downloads.yaml shape)
+        Typed(col(segs.map(s => s"`$s`").mkString(".")), fieldType(dt))
       case FuncCall("env", Vector(Lit(name: String))) =>
         Typed(env.get(name).orElse(sys.env.get(name))
           .map(lit).getOrElse(lit(null).cast(StringType)), TStrT)
@@ -135,19 +187,25 @@ object BloblangCompiler {
           case _ => bail()
         }
       case BinOp(op, le, re) => cBin(op, c(le), c(re))
-      case IfExpr(branches, Some(els)) =>
+      case IfExpr(branches, els) =>
         val cs = branches.map { case (cond, res) => (c(cond), c(res)) }
-        val e0 = c(els)
         if (cs.exists(_._1.t != TBoolT)) bail()
-        val rt = joinTypes((cs.map(_._2.t) :+ e0.t): _*)
-        val chain = cs.foldRight(e0.col) { case ((cond, res), acc) =>
+        // if WITHOUT else: the interpreter omits the field (Nothing); the
+        // columnar mapping is null — equivalent under JSON-path reads
+        val e0 = els.map(c)
+        val rt = joinTypes((cs.map(_._2.t) ++ e0.map(_.t)): _*)
+        val tail = e0.map(_.col).getOrElse(lit(null))
+        val chain = cs.foldRight(tail) { case ((cond, res), acc) =>
           when(cond.col, res.col).otherwise(acc)
         }
         Typed(chain, rt)
-      case MatchExpr(target, cases) if cases.nonEmpty && cases.last._1.isEmpty =>
+      case MatchExpr(target, cases) if cases.nonEmpty =>
         val tcol = target.map(c)
-        val dflt = c(cases.last._2)
-        val body = cases.init
+        val hasDefault = cases.last._1.isEmpty
+        // no default: unmatched = omission = null (same mapping as
+        // if-without-else)
+        val dflt = if (hasDefault) Some(c(cases.last._2)) else None
+        val body = if (hasDefault) cases.init else cases
         if (body.exists(_._1.isEmpty)) bail() // `_` only as the final default
         val built = body.map {
           case (Some(condE), resE) =>
@@ -165,9 +223,9 @@ object BloblangCompiler {
             (cond, c(resE))
           case _ => bail()
         }
-        val rt = joinTypes((built.map(_._2.t) :+ dflt.t): _*)
-        Typed(built.foldRight(dflt.col) { case ((cond, res), acc) =>
-          when(cond, res.col).otherwise(acc)
+        val rt = joinTypes((built.map(_._2.t) ++ dflt.map(_.t)): _*)
+        Typed(built.foldRight(dflt.map(_.col).getOrElse(lit(null))) {
+          case ((cond, res), acc) => when(cond, res.col).otherwise(acc)
         }, rt)
       case MethodCall(t, name, args) => cMethod(c(t), name, args.map(c), args)
       case _ => bail()
@@ -179,7 +237,8 @@ object BloblangCompiler {
 
   private def joinTypes(ts: BT*): BT = {
     val d = ts.distinct
-    if (d.length == 1) d.head
+    if (d.isEmpty || d.contains(TAnyT)) bail()
+    else if (d.length == 1) d.head
     else if (d.forall(t => t == TLongT || t == TDoubleT)) TDoubleT
     else bail()
   }
@@ -214,6 +273,7 @@ object BloblangCompiler {
   }
 
   private def cmpSafe(l: Typed, r: Typed)(f: (Column, Column) => Column): Column = {
+    if (l.t == TAnyT || r.t == TAnyT) bail() // opaque values: assignment only
     if (l.t != r.t && !numPair(l.t, r.t)) bail()
     f(l.col, r.col)
   }
@@ -288,6 +348,24 @@ object BloblangCompiler {
       case ("floor", TLongT) => t
       case ("ceil", TDoubleT) => Typed(ceil(t.col), TLongT)
       case ("ceil", TLongT) => t
+      // the interpreter is scala math.round = floor(x + 0.5), half-up
+      // TOWARD +INF; Spark round() is half-away-from-zero, which differs
+      // at negative .5 (round(-2.5): -2 vs -3) — so compile the exact form
+      case ("round", TDoubleT) => Typed(floor(t.col + lit(0.5)), TLongT)
+      case ("round", TLongT) => t
+      // number(): identity on numerics; strings cast to double (the
+      // interpreter keeps integral strings as longs and RAISES on parse
+      // failure — documented deltas; a fallback arg coalesces the
+      // cast-null exactly like the interpreter's parse-failure fallback)
+      case ("number", TLongT | TDoubleT) => t
+      case ("number", TStrT) =>
+        val base = t.col.try_cast(DoubleType) // ANSI cast would throw
+        args.headOption match {
+          case None => Typed(base, TDoubleT)
+          case Some(f) if f.t == TLongT || f.t == TDoubleT =>
+            Typed(coalesce(base, f.col.cast(DoubleType)), TDoubleT)
+          case _ => bail()
+        }
       case _ => bail()
     }
 }

@@ -26,6 +26,16 @@ final case class Turn(
   * RocksDB put/get, changelog upload, and (for flatMapGroupsWithState)
   * every whole-buffer re-serialization of a touched key. Both stateful
   * session-join engines buffer this shape and re-attach conv_id at flush.
+  *
+  * Checkpoint compatibility: this slim (round 3) CHANGED the persisted
+  * state schema of both engines — the flatMapGroupsWithState ConvState
+  * value and the transformWithState ListState element — and round 4's
+  * tws meta tuple gained a bufMinTs slot. Restoring a checkpoint written
+  * before either change fails state-schema validation. Harmless here
+  * (checkpoints are per-run ephemeral), but a deployment with durable
+  * checkpoints must treat such changes as a full state rebuild (or ship
+  * a state migration), exactly like any stateful-streaming schema
+  * evolution.
   */
 final case class BufTurn(
     turn_idx: Int,

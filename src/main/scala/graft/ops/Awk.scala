@@ -26,10 +26,12 @@ import org.apache.spark.sql.types.{MapType, StringType}
   *  With `text`/`json`, entries of an optional metadata map column become
   *  variables too (same key sanitisation, awk.go:809-813).
   *
-  * Runs `/usr/bin/awk` (POSIX) with a FRESH process per message — the
+  * Runs `/usr/bin/awk` (POSIX) with a FRESH interpreter per message — the
   * faithful semantics (BEGIN/END/NR are per-message programs in the
-  * reference, which re-executes its embedded interpreter per part). This
-  * is the expensive mode by construction; for per-line streaming filters
+  * reference, which re-executes its embedded interpreter per part).
+  * `pooled = true` keeps those semantics but executes through one
+  * long-lived per-partition worker (see [[PooledRunner]]) — same fresh
+  * awk per message, ~6x cheaper dispatch. For per-line streaming filters
   * use [[Subprocess.pipe]] (one long-lived child per partition).
   *
   * The reference's goawk-registered custom functions (json_get, the
@@ -47,7 +49,8 @@ import org.apache.spark.sql.types.{MapType, StringType}
 object Awk {
 
   def proc(df: DataFrame, program: String, codec: String = "text",
-      textCol: String = "text", metaCol: Option[String] = None): DataFrame = {
+      textCol: String = "text", metaCol: Option[String] = None,
+      pooled: Boolean = false): DataFrame = {
     require(Set("text", "json", "none").contains(codec), s"unrecognised codec: $codec")
     val base = Errors.withErrorCol(df)
     val schema = base.schema
@@ -66,6 +69,13 @@ object Awk {
     val enc = Encoders.row(schema)
     base.mapPartitions { rows =>
       val mapper = new ObjectMapper()
+      // pooled mode: one long-lived worker per partition (program staged
+      // once, per-message seeds via a side file) instead of a fresh JVM
+      // process spawn + temp program file per message
+      val pool = if (pooled) Some(new PooledRunner(program, useFns)) else None
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null) pool.foreach(w =>
+        ctx.addTaskCompletionListener[Unit](_ => w.close()))
       rows.map { row =>
         val payload = row.getString(textIdx)
         if (payload == null) row
@@ -101,15 +111,21 @@ object Awk {
             .map(i => row.getMap[String, String](i).toMap).getOrElse(Map.empty)
           if (codec != "none") metaMap.foreach { case (k, v) => vars(sanitize(k)) = v }
 
-          val fullProgram = if (!useFns) program else {
-            AwkFuncs.prelude + "\n" +
-              AwkFuncs.seedBlock(Option(jsonRoot), metaMap, System.currentTimeMillis() / 1000L) +
-              "\n" + program
-          }
+          val seed = if (!useFns) None else Some(
+            AwkFuncs.seedBlock(Option(jsonRoot), metaMap, System.currentTimeMillis() / 1000L))
 
           if (parseErr != null) vals(errIdx) = parseErr
           else {
-            val (exit, out, errRaw) = runOne(fullProgram, vars, if (codec == "text") payload else " ")
+            val stdin = if (codec == "text") payload else " "
+            val (exit, out, errRaw) = pool match {
+              case Some(w) => w.run(seed, vars, stdin)
+              case None =>
+                val fullProgram = seed match {
+                  case Some(s) => AwkFuncs.prelude + "\n" + s + "\n" + program
+                  case None => program
+                }
+                runOne(fullProgram, vars, stdin)
+            }
             // control ops ride stderr (see goawk_prelude.awk); anything
             // else on stderr is a real interpreter/program error
             val (plainErr, ops) =
@@ -175,6 +191,68 @@ object Awk {
     * (MAX_ARG_STRLEN), which a ~40 KiB JSON message would blow through.
     * Returns (exit, stdout, stderr).
     */
+  /** Pooled execution: one long-lived `sh` worker per partition. The
+    * (constant) prelude + user program are staged to a file ONCE; each
+    * message writes its stdin payload and BEGIN seed block to fixed side
+    * files and sends the worker one command line —
+    * `awk -v … -f seed.awk -f prog.awk < in > out 2> err; echo __D$?` —
+    * so the per-message cost is one sh-side fork+exec of awk (~1 ms)
+    * instead of a JVM process spawn + temp program file + two drain
+    * threads (~6 ms). Semantics are IDENTICAL to the fresh mode: a brand
+    * new awk interpreter still runs per message (faithful per-part
+    * BEGIN/END/NR, clean globals); `-v` keeps POSIX strnum semantics.
+    * BEGIN order differs only in that the seed block precedes the
+    * prelude's constant-table BEGIN — both are pure assignments with no
+    * cross-reads (AwkSpec runs its whole table in both modes).
+    */
+  private final class PooledRunner(program: String, useFns: Boolean) {
+    private val dir = java.nio.file.Paths.get(graft.util.Tmp.dir("awkpool"))
+    private val progFile = dir.resolve("prog.awk")
+    private val seedFile = dir.resolve("seed.awk")
+    private val inFile = dir.resolve("in")
+    private val outFile = dir.resolve("out")
+    private val errFile = dir.resolve("err")
+    java.nio.file.Files.write(progFile,
+      ((if (useFns) AwkFuncs.prelude + "\n" else "") + program).getBytes(UTF_8))
+    private val p = new ProcessBuilder("sh").start()
+    private val toSh = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(p.getOutputStream, UTF_8))
+    private val fromSh = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream, UTF_8))
+    private def q(s: String): String = "'" + s.replace("'", "'\\''") + "'"
+
+    def run(seed: Option[String], vars: LinkedHashMap[String, String],
+        stdin: String): (Int, String, String) = {
+      java.nio.file.Files.write(inFile, stdin.getBytes(UTF_8))
+      seed.foreach(s => java.nio.file.Files.write(seedFile, s.getBytes(UTF_8)))
+      val cmd = new StringBuilder("awk")
+      vars.foreach { case (k, v) =>
+        cmd.append(" -v ").append(q(s"$k=${v.replace("\\", "\\\\")}"))
+      }
+      seed.foreach(_ => cmd.append(" -f ").append(q(seedFile.toString)))
+      cmd.append(" -f ").append(q(progFile.toString))
+        .append(" < ").append(q(inFile.toString))
+        .append(" > ").append(q(outFile.toString))
+        .append(" 2> ").append(q(errFile.toString))
+        .append("; echo __D$?")
+      toSh.write(cmd.toString); toSh.newLine(); toSh.flush()
+      var line = fromSh.readLine()
+      while (line != null && !line.startsWith("__D")) line = fromSh.readLine()
+      if (line == null)
+        throw new IllegalStateException("awk pool worker exited unexpectedly")
+      val exit = line.substring(3).trim.toInt
+      (exit,
+        new String(java.nio.file.Files.readAllBytes(outFile), UTF_8),
+        new String(java.nio.file.Files.readAllBytes(errFile), UTF_8))
+    }
+
+    def close(): Unit = {
+      try toSh.close() catch { case _: Exception => () }
+      p.destroy()
+      graft.util.Tmp.delete(dir.toString)
+    }
+  }
+
   private def runOne(program: String, vars: LinkedHashMap[String, String],
       stdin: String): (Int, String, String) = {
     val progFile = java.io.File.createTempFile("graft_awk", ".awk")

@@ -16,20 +16,35 @@ class AwkSpec extends SparkTestBase {
     (t, e)
   }
 
-  /** Returns (text, error, metadata-after). */
+  /** Returns (text, error, metadata-after). Every case runs in BOTH
+    * execution modes — fresh process per message AND the pooled
+    * per-partition worker — and asserts they agree, so the whole ported
+    * awk_test.go table pins pooled-mode fidelity.
+    */
   private def run(text: String, program: String, codec: String,
       meta: Map[String, String] = Map.empty): (String, String, Map[String, String]) = {
-    val df0 = Seq(text).toDF("text")
-    val df = if (meta.isEmpty) df0 else df0.withColumn("meta",
-      map(meta.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*))
-    val out = Awk.proc(df, program, codec,
-      metaCol = if (meta.isEmpty) None else Some("meta"))
-    val r =
-      if (meta.isEmpty) out.select(col("text"), col(Errors.ErrCol)).head()
-      else out.select(col("text"), col(Errors.ErrCol), col("meta")).head()
-    val after = if (meta.isEmpty) Map.empty[String, String]
-      else r.getMap[String, String](2).toMap
-    (r.getString(0), r.getString(1), after)
+    def once(pooled: Boolean): (String, String, Map[String, String]) = {
+      val df0 = Seq(text).toDF("text")
+      val df = if (meta.isEmpty) df0 else df0.withColumn("meta",
+        map(meta.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*))
+      val out = Awk.proc(df, program, codec,
+        metaCol = if (meta.isEmpty) None else Some("meta"), pooled = pooled)
+      val r =
+        if (meta.isEmpty) out.select(col("text"), col(Errors.ErrCol)).head()
+        else out.select(col("text"), col(Errors.ErrCol), col("meta")).head()
+      val after = if (meta.isEmpty) Map.empty[String, String]
+        else r.getMap[String, String](2).toMap
+      (r.getString(0), r.getString(1), after)
+    }
+    val fresh = once(pooled = false)
+    val pooledR = once(pooled = true)
+    // awk error text embeds the program's temp-file path, which legitimately
+    // differs between modes — normalize it before asserting parity
+    def norm(t: (String, String, Map[String, String])) = t.copy(_2 =
+      if (t._2 == null) null else t._2.replaceAll("/[^ :]*\\.awk", "<prog>"))
+    assert(norm(fresh) === norm(pooledR),
+      s"fresh vs pooled mode disagree for program: $program")
+    fresh
   }
 
   test("""text codec: program output replaces the message (awk_test.go "print 2nd word plus meta")""") {
@@ -65,11 +80,13 @@ class AwkSpec extends SparkTestBase {
     assert(t == "x" && e != null)
   }
 
-  test("BEGIN/END run per message (fresh interpreter per part)") {
+  test("BEGIN/END run per message (fresh interpreter per part), both modes") {
     val df = Seq("a", "b").toDF("text")
-    val out = Awk.proc(df, """END { print NR " lines" }""", "text")
-      .select("text").as[String].collect().sorted
-    assert(out.toSeq == Seq("1 lines", "1 lines"))
+    for (pooled <- Seq(false, true)) {
+      val out = Awk.proc(df, """END { print NR " lines" }""", "text", pooled = pooled)
+        .select("text").as[String].collect().sorted
+      assert(out.toSeq == Seq("1 lines", "1 lines"), s"pooled=$pooled")
+    }
   }
 
   // ---- goawk custom-function table (awk_test.go TestAWK) ----------------

@@ -99,16 +99,103 @@ class BloblangCompilerSpec extends SparkTestBase {
     val schema = df.schema
     for (p <- Seq(
         "root = this", // structural root
-        "root.a.b = 1", // nested path
         """root.x = this.s | "d"""", // error-flow pipe
-        """root.x = this.s.number(0)""", // parse semantics
-        """root.x = if this.b { 1 }""", // Nothing-producing
         """root.x = this.missing""", // unknown column
-        """root.s = "collides"""", // shadows an input column
         """root.x = this.s.has_prefix(this.d)""", // double arg: Catalyst cast != goString
         """root.x = this.s.has_suffix(this.d)""",
+        "root.a = 1\nroot.a.b = 2", // value + children at one path
+        """root.x = this.s.number("nan-fallback")""", // non-numeric fallback
         """meta k = "v"""")) // meta write
       assert(BloblangCompiler.tryCompile(p, schema).isEmpty, s"should bail: $p")
+  }
+
+  test("assigning over an input column replaces it; other statements still read the input") {
+    val program =
+      """root.s = "gone"
+        |root.keep = this.s.uppercase()""".stripMargin
+    val stage = BloblangCompiler.stage(program, df.schema)
+      .getOrElse(fail("shadowing program did not compile"))
+    val out = stage(df).select("s", "keep").collect()
+    assert(out.forall(_.getString(0) == "gone"))
+    // `this.s` reads the ORIGINAL input even after root.s was assigned
+    assert(out.map(_.getString(1)).toSeq === rows.map(_._1.toUpperCase))
+  }
+
+  test("round/number compile with interpreter-exact semantics") {
+    assertEquivalent(
+      """root.r1 = this.d.round()
+        |root.r2 = (0 - this.d).round()
+        |root.n1 = this.n.number()
+        |root.n2 = this.d.number()
+        |root.n3 = this.s.number(-1)""".stripMargin)
+  }
+
+  test("if-without-else and match-without-default map omission to null") {
+    assertEquivalent(
+      """root.maybe = if this.n > 10 { "big" }
+        |root.m = match this.s { "user" => "U" }""".stripMargin)
+  }
+
+  test("nested root paths build struct columns (declaration order, last write wins)") {
+    val program =
+      """root.out.a = this.n + 1
+        |root.out.b.deep = this.s.uppercase()
+        |root.out.a = this.n + 2""".stripMargin
+    val stage = BloblangCompiler.stage(program, df.schema)
+      .getOrElse(fail("nested program did not compile"))
+    val r = stage(df).select(col("out.a"), col("out.b.deep")).collect()
+    assert(r.map(_.getLong(0)).toSeq === rows.map(_._2 + 2))
+    assert(r.map(_.getString(1)).toSeq === rows.map(_._1.toUpperCase))
+    // interpreter agreement on the nested doc shape
+    val ex = Bloblang.compile(program)
+    val j = ex.mapText("""{"s":"x","n":7,"d":1.0,"b":true}""").text.get
+    assert(M.readTree(j).at("/out/a").asLong === 9L)
+    assert(M.readTree(j).at("/out/b/deep").asText === "X")
+  }
+
+  test("reference corpus mappings compile verbatim (joining_streams, track_benthos_downloads)") {
+    // verbatim from /root/reference/config/examples/joining_streams.yaml:44-46
+    val joinMap =
+      """root.comment.id = this.comment.id
+        |root.article = this.article""".stripMargin
+    val joinSchema = new org.apache.spark.sql.types.StructType()
+      .add("comment", new org.apache.spark.sql.types.StructType().add("id", "string"))
+      .add("article", new org.apache.spark.sql.types.StructType().add("title", "string"))
+    // verbatim from /root/reference/config/examples/joining_streams.yaml:40
+    val resultMap = "root.article = this.article"
+    // verbatim from /root/reference/config/examples/track_benthos_downloads.yaml:21-24
+    val dockerMap =
+      """root.source = "docker"
+        |root.dist = "docker"
+        |root.download_count = this.pull_count
+        |root.version = "all"""".stripMargin
+    val dockerSchema = new org.apache.spark.sql.types.StructType()
+      .add("pull_count", "long")
+    // verbatim from /root/reference/config/examples/track_benthos_downloads.yaml:59-62
+    val brewMap =
+      """root.source = "homebrew"
+        |root.dist = "brew"
+        |root.download_count = this.analytics.install.30d.benthos
+        |root.version = "all"""".stripMargin
+    val brewSchema = new org.apache.spark.sql.types.StructType()
+      .add("analytics", new org.apache.spark.sql.types.StructType()
+        .add("install", new org.apache.spark.sql.types.StructType()
+          .add("30d", new org.apache.spark.sql.types.StructType()
+            .add("benthos", "long"))))
+    val compiled = Seq(
+      "joining_streams.result_map" -> BloblangCompiler.tryCompile(resultMap, joinSchema),
+      "joining_streams.comment_map" -> BloblangCompiler.tryCompile(joinMap, joinSchema),
+      "track_benthos.docker" -> BloblangCompiler.tryCompile(dockerMap, dockerSchema),
+      "track_benthos.brew" -> BloblangCompiler.tryCompile(brewMap, brewSchema))
+    compiled.foreach { case (n, c) => assert(c.isDefined, s"$n should compile") }
+    // value check for the hairiest one (nested input path with a `30d` segment)
+    val bdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(org.apache.spark.sql.Row(org.apache.spark.sql.Row(123L)))))),
+      brewSchema)
+    val out = BloblangCompiler.stage(brewMap, brewSchema).get(bdf)
+      .select("source", "dist", "download_count", "version").head()
+    assert(out.toSeq === Seq("homebrew", "brew", 123L, "all"))
   }
 
   test("compiled plan is UDF-free; interpreted plan is not") {
