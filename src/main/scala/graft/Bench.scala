@@ -147,11 +147,17 @@ object Bench {
     val shFps = sys.env.getOrElse("SPARK_GRAFT_SKEW_HEAVY_FPS", "8").toInt
     // sustained block (BASELINE metric is SUSTAINED turns/sec): one trial
     // per engine at ~3.4x the flagship input, block cache sized to the
-    // state working set (BENCH.md "Sustained")
-    val sustainedConvs = sys.env.get("SPARK_GRAFT_SUSTAINED").map(_ match {
-      case "1" | "true" => 5000000L
-      case n => n.toLong
-    }).getOrElse(0L)
+    // state working set (BENCH.md "Sustained"). ON by default — runs in
+    // forked child JVMs so its native-state residue cannot depress (or
+    // OOM) the rest of the record; SPARK_GRAFT_SUSTAINED=0 disables,
+    // =<convs> resizes.
+    val sustainedConvs =
+      if (scalingOnly) 0L
+      else sys.env.getOrElse("SPARK_GRAFT_SUSTAINED", "1") match {
+        case "0" | "false" => 0L
+        case "1" | "true" => nConvs * 10 / 3 // ~3.4x the flagship input
+        case n => n.toLong
+      }
 
     // ---- stage deterministic inputs once -------------------------------
     val sGen = session(cpus)
@@ -232,68 +238,6 @@ object Bench {
     }
     if (!skipSkew) graft.util.Tmp.delete(skewDir)
 
-    // ---- skew-heavy regime: conv-keyed ingest + heavy per-turn map -----
-    // The regime the north_star's salting clause exists for (one hot
-    // conversation wholly inside one scan task + real pre-join map work).
-    // Same methodology as the skew block: interleaved trial-outer/
-    // config-inner, fresh session per run, best-of-N.
-    val (skewHeavyRuns, skewHeavyTrials): (Seq[(String, Flagship.Result)], Seq[(String, Flagship.Result)]) =
-      if (skipSkewHeavy) (Seq.empty, Seq.empty) else {
-      val configs: Seq[(String, Boolean, String, Int)] = Seq(
-        ("light_unsalted", false, "fmgws", 0),
-        ("light_salted", false, "fmgws", skewSalt),
-        ("heavy_unsalted", true, "fmgws", 0),
-        ("heavy_salted", true, "fmgws", skewSalt),
-        ("heavy_unsalted_tws", true, "tws", 0),
-        ("heavy_salted_tws", true, "tws", skewSalt))
-      locally { val s = session(8, 16)
-        Flagship.runStaged(s, warmDir, filesPerTrigger = fpt, heavyMap = true); s.stop() }
-      val all: Seq[(String, Flagship.Result)] = (1 to nTrials).flatMap { t =>
-        configs.map { case (name, heavy, eng, saltN) =>
-          val s = session(8, 16)
-          val r = Flagship.runStaged(s, skewHeavyDir, shFps, engine = eng,
-            salt = saltN, heavyMap = heavy)
-          s.stop()
-          System.err.println(f"[bench] skew-heavy $name trial=$t turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs turns=${r.turns} pairs=${r.pairs}")
-          name -> r
-        }
-      }
-      // sanity: identical pairs across configs, near-complete emission
-      val pairsSeen = all.map(_._2.pairs).distinct
-      if (pairsSeen.size > 1)
-        System.err.println(s"[bench] skew-heavy SANITY FAIL: configs disagree on pairs: $pairsSeen")
-      if (all.head._2.pairs.toDouble / shBatchPairs < 0.9)
-        System.err.println(s"[bench] skew-heavy SANITY FAIL: emitted ${all.head._2.pairs} of $shBatchPairs batch pairs")
-      val runs = configs.map { case (name, _, _, _) =>
-        name -> all.collect { case (`name`, r) => r }.maxBy(_.turnsPerSec)
-      }
-      (runs, all)
-    }
-    if (!skipSkewHeavy) graft.util.Tmp.delete(skewHeavyDir)
-
-    // ---- sustained: one long trial per engine, cache sized to state ----
-    val sustainedJson: String =
-      if (sustainedConvs <= 0) "null"
-      else {
-        val sStage = session(cpus)
-        val susDir = Flagship.stage(sStage, sustainedConvs, nFiles = nFiles)
-        val susBatchPairs = graft.streaming.SessionJoin.pairBatch(sStage.read.parquet(susDir)).count()
-        sStage.stop()
-        val rows = Seq("fmgws", "tws").map { eng =>
-          val s = session(cpus, 2 * cpus, blockCacheMB = 2048)
-          val r = Flagship.runStaged(s, susDir, filesPerTrigger = fpt, engine = eng)
-          s.stop()
-          System.err.println(f"[bench] sustained $eng turns=${r.turns} turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms state_rows=${r.maxStateRows} state_bytes=${r.maxStateBytes} pairs=${r.pairs}/$susBatchPairs")
-          s""""$eng":{"turns_per_sec":${f(r.turnsPerSec)},"p99_latency_ms":${r.p99LatencyMs},""" +
-            s""""max_state_rows":${r.maxStateRows},"max_state_bytes":${r.maxStateBytes},""" +
-            s""""pairs":${r.pairs},"elapsed_sec":${f(r.elapsedSec)}}"""
-        }
-        graft.util.Tmp.delete(susDir)
-        rows.mkString(
-          s"""{"convs":$sustainedConvs,"batch_pairs":$susBatchPairs,"block_cache_mb":2048,""",
-          ",", "}")
-      }
-
     // ---- scaling: per-pair staged input, both levels of each pair ------
     // Data layout and shuffle partitioning IDENTICAL across levels (fixed
     // parts; a real cluster resize changes executors, not partitioning).
@@ -332,7 +276,6 @@ object Bench {
       combos.map { case (cores, convs) =>
         (cores, convs) -> runTrials(cores, scaleDirs(convs), convs)
       }.toMap
-    graft.util.Tmp.delete(warmDir)
     scaleDirs.values.filter(_ != inDir).foreach(graft.util.Tmp.delete)
     graft.util.Tmp.delete(inDir)
     def bestTps(c: Int, n: Long): Double = byCombo((c, n)).map(_.turnsPerSec).max
@@ -342,6 +285,94 @@ object Bench {
       System.err.println(f"[bench] scaling pair $lo->$hi convs=$n tps_lo=${bestTps(lo, n)}%.0f tps_hi=${bestTps(hi, n)}%.0f efficiency=$eff%.3f")
       s"""{"lo":$lo,"hi":$hi,"convs":$n,"tps_lo":${f(bestTps(lo, n))},"tps_hi":${f(bestTps(hi, n))},"efficiency":${f(eff)}}"""
     }
+
+    // ---- skew-heavy regime: conv-keyed ingest + heavy per-turn map -----
+    // The regime the north_star's salting clause exists for (one hot
+    // conversation wholly inside one scan task + real pre-join map work).
+    // Same methodology as the skew block: interleaved trial-outer/
+    // config-inner, fresh session per run, best-of-N. Runs AFTER scaling:
+    // its 18 streaming rigs leave the same JVM-level residue the sweep
+    // does (methodology #3), and the scaling pairs are the most
+    // residue-sensitive block.
+    val (skewHeavyRuns, skewHeavyTrials): (Seq[(String, Flagship.Result)], Seq[(String, Flagship.Result)]) =
+      if (skipSkewHeavy) (Seq.empty, Seq.empty) else {
+      val configs: Seq[(String, Boolean, String, Int)] = Seq(
+        ("light_unsalted", false, "fmgws", 0),
+        ("light_salted", false, "fmgws", skewSalt),
+        ("heavy_unsalted", true, "fmgws", 0),
+        ("heavy_salted", true, "fmgws", skewSalt),
+        ("heavy_unsalted_tws", true, "tws", 0),
+        ("heavy_salted_tws", true, "tws", skewSalt))
+      locally { val s = session(8, 16)
+        Flagship.runStaged(s, warmDir, filesPerTrigger = fpt, heavyMap = true); s.stop() }
+      val all: Seq[(String, Flagship.Result)] = (1 to nTrials).flatMap { t =>
+        configs.map { case (name, heavy, eng, saltN) =>
+          val s = session(8, 16)
+          val r = Flagship.runStaged(s, skewHeavyDir, shFps, engine = eng,
+            salt = saltN, heavyMap = heavy)
+          s.stop()
+          System.err.println(f"[bench] skew-heavy $name trial=$t turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs turns=${r.turns} pairs=${r.pairs}")
+          name -> r
+        }
+      }
+      // sanity: identical pairs across configs, near-complete emission
+      val pairsSeen = all.map(_._2.pairs).distinct
+      if (pairsSeen.size > 1)
+        System.err.println(s"[bench] skew-heavy SANITY FAIL: configs disagree on pairs: $pairsSeen")
+      if (all.head._2.pairs.toDouble / shBatchPairs < 0.9)
+        System.err.println(s"[bench] skew-heavy SANITY FAIL: emitted ${all.head._2.pairs} of $shBatchPairs batch pairs")
+      val runs = configs.map { case (name, _, _, _) =>
+        name -> all.collect { case (`name`, r) => r }.maxBy(_.turnsPerSec)
+      }
+      (runs, all)
+    }
+    if (!skipSkewHeavy) graft.util.Tmp.delete(skewHeavyDir)
+    graft.util.Tmp.delete(warmDir)
+
+    // ---- sustained: one long trial per engine, FORKED child JVMs -------
+    // Each run buffers the whole 105 M-turn corpus's live-conversation
+    // state (~15-20 GB native RocksDB). Run in-JVM, that native residue
+    // survives the per-run provider unload (allocator arenas) and on this
+    // box pushed the bench process into the OOM killer two blocks later —
+    // so each engine runs in its OWN child JVM over a once-staged input:
+    // the residue dies with the child, and a child OOM costs one block,
+    // not the record.
+    val sustainedJson: String =
+      if (sustainedConvs <= 0) "null"
+      else {
+        val sStage = session(cpus)
+        val susDir = Flagship.stage(sStage, sustainedConvs, nFiles = nFiles)
+        val susBatchPairs = graft.streaming.SessionJoin.pairBatch(sStage.read.parquet(susDir)).count()
+        sStage.stop()
+        val rows = Seq("fmgws", "tws").map { eng =>
+          val cmd = Seq("java", "-Xmx48g", "-cp", sys.props("java.class.path"),
+            "graft.Flagship", sustainedConvs.toString, cpus.toString, fpt.toString,
+            nFiles.toString, (2 * cpus).toString, eng, susDir)
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.environment().put("SPARK_GRAFT_EXTRA_CONF",
+            "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB=2048")
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val line = try {
+            val p = pb.start()
+            val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+            val exit = p.waitFor()
+            val l = out.linesIterator.find(_.startsWith("{\"turns\""))
+            if (exit != 0 || l.isEmpty) {
+              System.err.println(s"[bench] sustained $eng child failed exit=$exit")
+              None
+            } else l
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[bench] sustained $eng fork failed: $e"); None
+          }
+          line.foreach(l => System.err.println(s"[bench] sustained $eng $l"))
+          s""""$eng":${line.getOrElse("null")}"""
+        }
+        graft.util.Tmp.delete(susDir)
+        rows.mkString(
+          s"""{"convs":$sustainedConvs,"batch_pairs":$susBatchPairs,"block_cache_mb":2048,""",
+          ",", "}")
+      }
 
     // ---- batch query timings (LAST, deliberately) -----------------------
     // The sweep's nine streaming rigs leave JVM-level residue (native

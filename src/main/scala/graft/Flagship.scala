@@ -248,7 +248,9 @@ object Flagship {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val inDir = stage(spark, nConvs, nFiles)
+    // optional 7th arg: run over an already-staged input dir (lets
+    // Bench stage once and fork per-engine child JVMs over it)
+    val inDir = if (args.length > 6) args(6) else stage(spark, nConvs, nFiles)
     val r = runStaged(spark, inDir, filesPerTrigger, engine)
     // ground-truth emission check (opt-in): compare the streamed pair
     // count against the batch (window-function) form on the same input
