@@ -89,6 +89,52 @@ object Bench {
     s
   }
 
+  /** JDK-17 module opens for hand-forked child JVMs (build.sbt's
+    * javaOptions don't propagate to ProcessBuilder children).
+    */
+  private val childJvmFlags: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork a child JVM running `main`, stderr inherited, and return its
+    * single stdout JSON line (the convention every graft main follows).
+    * The heavy blocks run in children so their native RocksDB/allocator
+    * residue — which the per-run provider unload cannot return to the
+    * OS — dies with the child instead of accumulating in the bench JVM
+    * (runs A4/B4 were OOM-killed by exactly that accumulation). Returns
+    * None (and logs) on child failure; `okExits` lets a caller accept a
+    * child's sentinel exit code (SkewHeavyBench exits 1 on sanity fail
+    * but still prints its record).
+    */
+  private def forkJson(main: String, args: Seq[String], heapGB: Int,
+      env: Map[String, String] = Map.empty,
+      okExits: Set[Int] = Set(0)): (Option[String], Int) = {
+    val cmd = Seq("java", s"-Xmx${heapGB}g") ++ childJvmFlags ++
+      Seq("-cp", sys.props("java.class.path"), main) ++ args
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val exit = p.waitFor()
+      val line = out.linesIterator.find(_.startsWith("{"))
+      if (!okExits(exit) || line.isEmpty) {
+        System.err.println(s"[bench] fork $main failed exit=$exit")
+        (None, exit)
+      } else (line, exit)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] fork $main failed: $e"); (None, -1)
+    }
+  }
+
   /** Force full evaluation of every expression in the plan: `count()`
     * lets Catalyst prune unreferenced projections, so pure-projection
     * queries would be timed as bare parquet scans (round-1 verdict §3).
@@ -165,19 +211,15 @@ object Bench {
     val inDir = Flagship.stage(sGen, nConvs, nFiles = nFiles)
     val skewDir = if (skipSkew) "" else
       Flagship.stage(sGen, skewConvs, nFiles = nFiles, hotConvs = hotConvs, hotMult = hotMult)
-    val skewHeavyDir = if (skipSkewHeavy) "" else
-      Flagship.stage(sGen, shConvs, nFiles = shSlices * shFps, hotConvs = shHot,
-        hotMult = shMult, keyedByConv = true, slices = shSlices)
     // ground truth for emission accounting: the batch (window-function,
     // DuckDB-oracled) pair count on the same staged input — a bounded
     // streaming replay must emit exactly the subset of these pairs whose
     // session the final watermark closed (~all of them), and the record
     // carries the share so partial-emission bugs (round 3's staging
-    // artifact) cannot hide in a throughput number again.
-    def batchPairsOf(dir: String): Long =
-      graft.streaming.SessionJoin.pairBatch(sGen.read.parquet(dir)).count()
-    val inBatchPairs = batchPairsOf(inDir)
-    val shBatchPairs = if (skipSkewHeavy) 0L else batchPairsOf(skewHeavyDir)
+    // artifact) cannot hide in a throughput number again. The skew-heavy
+    // and sustained blocks stage in their own child JVMs (see below).
+    val inBatchPairs =
+      graft.streaming.SessionJoin.pairBatch(sGen.read.parquet(inDir)).count()
     sGen.stop()
 
     // ---- headline flagship at full node width: best of fixed trials ----
@@ -286,92 +328,63 @@ object Bench {
       s"""{"lo":$lo,"hi":$hi,"convs":$n,"tps_lo":${f(bestTps(lo, n))},"tps_hi":${f(bestTps(hi, n))},"efficiency":${f(eff)}}"""
     }
 
+    graft.util.Tmp.delete(warmDir)
+
     // ---- skew-heavy regime: conv-keyed ingest + heavy per-turn map -----
     // The regime the north_star's salting clause exists for (one hot
     // conversation wholly inside one scan task + real pre-join map work).
-    // Same methodology as the skew block: interleaved trial-outer/
-    // config-inner, fresh session per run, best-of-N. Runs AFTER scaling:
-    // its 18 streaming rigs leave the same JVM-level residue the sweep
-    // does (methodology #3), and the scaling pairs are the most
-    // residue-sensitive block.
-    val (skewHeavyRuns, skewHeavyTrials): (Seq[(String, Flagship.Result)], Seq[(String, Flagship.Result)]) =
-      if (skipSkewHeavy) (Seq.empty, Seq.empty) else {
-      val configs: Seq[(String, Boolean, String, Int)] = Seq(
-        ("light_unsalted", false, "fmgws", 0),
-        ("light_salted", false, "fmgws", skewSalt),
-        ("heavy_unsalted", true, "fmgws", 0),
-        ("heavy_salted", true, "fmgws", skewSalt),
-        ("heavy_unsalted_tws", true, "tws", 0),
-        ("heavy_salted_tws", true, "tws", skewSalt))
-      locally { val s = session(8, 16)
-        Flagship.runStaged(s, warmDir, filesPerTrigger = fpt, heavyMap = true); s.stop() }
-      val all: Seq[(String, Flagship.Result)] = (1 to nTrials).flatMap { t =>
-        configs.map { case (name, heavy, eng, saltN) =>
-          val s = session(8, 16)
-          val r = Flagship.runStaged(s, skewHeavyDir, shFps, engine = eng,
-            salt = saltN, heavyMap = heavy)
-          s.stop()
-          System.err.println(f"[bench] skew-heavy $name trial=$t turns_per_sec=${r.turnsPerSec}%.0f p99=${r.p99LatencyMs}ms elapsed=${r.elapsedSec}%.1fs turns=${r.turns} pairs=${r.pairs}")
-          name -> r
-        }
+    // The whole block — staging, batch-pair oracle, 6 configs x N
+    // interleaved trials, pair-equality sanity gate — IS the standalone
+    // `graft.SkewHeavyBench` main; it runs as one child JVM (see
+    // forkJson: ~20 streaming rigs' native residue dies with it) and its
+    // JSON line embeds verbatim, argv and all.
+    val skewHeavyJson: String =
+      if (skipSkewHeavy) "null"
+      else {
+        val (line, exit) = forkJson("graft.SkewHeavyBench",
+          Seq("8", shConvs.toString, shHot.toString, shMult.toString,
+            skewSalt.toString, nTrials.toString, shSlices.toString, shFps.toString),
+          heapGB = 12, okExits = Set(0, 1))
+        if (exit == 1)
+          System.err.println("[bench] skew-heavy child reported a SANITY failure (see its stderr)")
+        line.foreach(l => System.err.println(s"[bench] skew-heavy $l"))
+        // record a failed sanity gate in the record itself, not just logs
+        line.map(l => l.patch(1, s""""sanity_ok":${exit == 0},""", 0)).getOrElse("null")
       }
-      // sanity: identical pairs across configs, near-complete emission
-      val pairsSeen = all.map(_._2.pairs).distinct
-      if (pairsSeen.size > 1)
-        System.err.println(s"[bench] skew-heavy SANITY FAIL: configs disagree on pairs: $pairsSeen")
-      if (all.head._2.pairs.toDouble / shBatchPairs < 0.9)
-        System.err.println(s"[bench] skew-heavy SANITY FAIL: emitted ${all.head._2.pairs} of $shBatchPairs batch pairs")
-      val runs = configs.map { case (name, _, _, _) =>
-        name -> all.collect { case (`name`, r) => r }.maxBy(_.turnsPerSec)
-      }
-      (runs, all)
-    }
-    if (!skipSkewHeavy) graft.util.Tmp.delete(skewHeavyDir)
-    graft.util.Tmp.delete(warmDir)
 
-    // ---- sustained: one long trial per engine, FORKED child JVMs -------
-    // Each run buffers the whole 105 M-turn corpus's live-conversation
-    // state (~15-20 GB native RocksDB). Run in-JVM, that native residue
-    // survives the per-run provider unload (allocator arenas) and on this
-    // box pushed the bench process into the OOM killer two blocks later —
-    // so each engine runs in its OWN child JVM over a once-staged input:
-    // the residue dies with the child, and a child OOM costs one block,
-    // not the record.
+    // ---- sustained: one long trial per engine, all FORKED --------------
+    // Staging (global sort + window scan of 100 M+ rows) and both engine
+    // runs (~15-20 GB native state each) run in child JVMs: runs A4/B4
+    // were OOM-killed doing this work in the bench JVM on top of the
+    // session's accumulated native residue. The parent only parses JSON
+    // lines and deletes the staged dir.
     val sustainedJson: String =
       if (sustainedConvs <= 0) "null"
       else {
-        val sStage = session(cpus)
-        val susDir = Flagship.stage(sStage, sustainedConvs, nFiles = nFiles)
-        val susBatchPairs = graft.streaming.SessionJoin.pairBatch(sStage.read.parquet(susDir)).count()
-        sStage.stop()
-        val rows = Seq("fmgws", "tws").map { eng =>
-          val cmd = Seq("java", "-Xmx48g", "-cp", sys.props("java.class.path"),
-            "graft.Flagship", sustainedConvs.toString, cpus.toString, fpt.toString,
-            nFiles.toString, (2 * cpus).toString, eng, susDir)
-          val pb = new ProcessBuilder(cmd: _*)
-          pb.environment().put("SPARK_GRAFT_EXTRA_CONF",
-            "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB=2048")
-          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-          val line = try {
-            val p = pb.start()
-            val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-            val exit = p.waitFor()
-            val l = out.linesIterator.find(_.startsWith("{\"turns\""))
-            if (exit != 0 || l.isEmpty) {
-              System.err.println(s"[bench] sustained $eng child failed exit=$exit")
-              None
-            } else l
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[bench] sustained $eng fork failed: $e"); None
+        val staged = forkJson("graft.tools.SustainedStage",
+          Seq(sustainedConvs.toString, nFiles.toString, cpus.toString), heapGB = 8)._1
+        val dirRe = """"dir":"([^"]+)"""".r
+        val bpRe = """"batch_pairs":(\d+)""".r
+        (for {
+          s <- staged
+          dir <- dirRe.findFirstMatchIn(s).map(_.group(1))
+          bp <- bpRe.findFirstMatchIn(s).map(_.group(1).toLong)
+        } yield {
+          val rows = Seq("fmgws", "tws").map { eng =>
+            val line = forkJson("graft.Flagship",
+              Seq(sustainedConvs.toString, cpus.toString, fpt.toString,
+                nFiles.toString, (2 * cpus).toString, eng, dir),
+              heapGB = 16,
+              env = Map("SPARK_GRAFT_EXTRA_CONF" ->
+                "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB=2048"))._1
+            line.foreach(l => System.err.println(s"[bench] sustained $eng $l"))
+            s""""$eng":${line.getOrElse("null")}"""
           }
-          line.foreach(l => System.err.println(s"[bench] sustained $eng $l"))
-          s""""$eng":${line.getOrElse("null")}"""
-        }
-        graft.util.Tmp.delete(susDir)
-        rows.mkString(
-          s"""{"convs":$sustainedConvs,"batch_pairs":$susBatchPairs,"block_cache_mb":2048,""",
-          ",", "}")
+          graft.util.Tmp.delete(dir)
+          rows.mkString(
+            s"""{"convs":$sustainedConvs,"batch_pairs":$bp,"block_cache_mb":2048,""",
+            ",", "}")
+        }).getOrElse("null")
       }
 
     // ---- batch query timings (LAST, deliberately) -----------------------
@@ -428,21 +441,6 @@ object Bench {
       }
     val flagshipTrialsJson = fs(fullTrials.map(_.turnsPerSec))
     val pairShare = if (inBatchPairs == 0) 0.0 else rFull.pairs.toDouble / inBatchPairs
-    val skewHeavyJson =
-      if (skewHeavyRuns.isEmpty) "null"
-      else {
-        val bests = skewHeavyRuns.map { case (n, r) =>
-          s""""$n":{"turns_per_sec":${f(r.turnsPerSec)},"p99_latency_ms":${r.p99LatencyMs},""" +
-            s""""elapsed_sec":${f(r.elapsedSec)},"turns":${r.turns},"pairs":${r.pairs}}"""
-        }
-        val trials = skewHeavyRuns.map { case (n, _) =>
-          s""""$n":${fs(skewHeavyTrials.collect { case (`n`, r) => r.turnsPerSec })}"""
-        }.mkString(""""trials_tps":{""", ",", "}")
-        (bests :+ trials).mkString(
-          s"""{"convs":$shConvs,"hot":$shHot,"hot_mult":$shMult,"salt":$skewSalt,""" +
-            s""""slices":$shSlices,"files_per_slice":$shFps,"keyed_by_conv":true,""" +
-            s""""batch_pairs":$shBatchPairs,""", ",", "}")
-      }
     val detail =
       s"""{"sf":"$sfDir","cpus":$cpus,"n_convs":$nConvs,"scale_base_convs":$scaleBase,"n_files":$nFiles,"fpt":$fpt,""" +
         s""""trials_per_level":$nTrials,"total_query_sec":${f(total)},"failed_queries":$nFailed,""" +
@@ -464,6 +462,31 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     System.err.println(s"[bench-detail] $detail")
 
+    // compact extracts of the forked blocks' verbatim JSON (full records
+    // live in the detail sidecar; the stdout line stays size-bounded)
+    def jsonField(js: String, anchor: String, field: String): String = {
+      val i = js.indexOf(anchor)
+      if (i < 0) "null"
+      else ("\"" + field + "\":(-?[0-9.]+)").r
+        .findFirstMatchIn(js.substring(i)).map(_.group(1)).getOrElse("null")
+    }
+    val skewHeavyCompact =
+      if (skewHeavyJson == "null") "null"
+      else {
+        val names = Seq("light_unsalted", "light_salted", "heavy_unsalted",
+          "heavy_salted", "heavy_unsalted_tws", "heavy_salted_tws")
+        val cfgs = names.map(n => s""""$n":${jsonField(skewHeavyJson, s""""$n":""", "best_tps")}""")
+        (s""""pair_share":${jsonField(skewHeavyJson, "{", "emitted_pair_share")}""" +: cfgs)
+          .mkString("{", ",", "}")
+      }
+    val sustainedCompact =
+      if (sustainedJson == "null") "null"
+      else s"""{"fmgws_tps":${jsonField(sustainedJson, "\"fmgws\":", "turns_per_sec")},""" +
+        s""""tws_tps":${jsonField(sustainedJson, "\"tws\":", "turns_per_sec")},""" +
+        s""""max_state_rows":${jsonField(sustainedJson, "\"fmgws\":", "max_state_rows")},""" +
+        s""""pairs":${jsonField(sustainedJson, "\"fmgws\":", "pairs")},""" +
+        s""""batch_pairs":${jsonField(sustainedJson, "{", "batch_pairs")}}"""
+
     // ---- the ONE compact stdout line (size-bounded ~800 bytes: no
     // per-query map — that detail lives in bench_detail.json/stderr) -----
     println(
@@ -478,7 +501,7 @@ object Bench {
         s""""latency_cfg":{"fpt":$latFpt,"turns_per_sec":${f(rLat.turnsPerSec)},"p99_latency_ms":${rLat.p99LatencyMs}}},""" +
         s""""scaling":${pairJsons.mkString("[", ",", "]")},""" +
         s""""skew":${if (skewRuns.isEmpty) "null" else skewRuns.map { case (n, r) => s""""$n":${f(r.turnsPerSec)}""" }.mkString(s"""{"hot":$hotConvs,"hot_mult":$hotMult,""", ",", "}")},""" +
-        s""""skew_heavy":${if (skewHeavyRuns.isEmpty) "null" else skewHeavyRuns.map { case (n, r) => s""""$n":${f(r.turnsPerSec)}""" }.mkString("{", ",", "}")},""" +
-        s""""sustained":${if (sustainedConvs <= 0) "null" else sustainedJson}}""")
+        s""""skew_heavy":$skewHeavyCompact,""" +
+        s""""sustained":$sustainedCompact}""")
   }
 }
