@@ -205,6 +205,46 @@ object Bench {
         case n => n.toLong
       }
 
+    // ---- sustained: one long trial per engine, all FORKED, FIRST -------
+    // Staging (global sort + window scan of 100 M+ rows) and both engine
+    // runs (~15-20 GB native state each) run in child JVMs: runs A4/B4
+    // were OOM-killed doing this work in the bench JVM on top of the
+    // session's accumulated native residue, and C4 was OOM-killed merely
+    // WAITING on the staging child — the parent's own post-scaling RSS
+    // plus the child's spike exceeded the box. So the block runs FIRST,
+    // while the parent is residue-free, the staging child writes the
+    // corpus to real disk (GRAFT_TMP_BASE) instead of tmpfs-RAM, and the
+    // parent only parses JSON lines and deletes the dir.
+    val sustainedJson: String =
+      if (sustainedConvs <= 0) "null"
+      else {
+        val staged = forkJson("graft.tools.SustainedStage",
+          Seq(sustainedConvs.toString, nFiles.toString, cpus.toString), heapGB = 8,
+          env = Map("GRAFT_TMP_BASE" -> "/tmp"))._1
+        val dirRe = """"dir":"([^"]+)"""".r
+        val bpRe = """"batch_pairs":(\d+)""".r
+        (for {
+          s <- staged
+          dir <- dirRe.findFirstMatchIn(s).map(_.group(1))
+          bp <- bpRe.findFirstMatchIn(s).map(_.group(1).toLong)
+        } yield {
+          val rows = Seq("fmgws", "tws").map { eng =>
+            val line = forkJson("graft.Flagship",
+              Seq(sustainedConvs.toString, cpus.toString, fpt.toString,
+                nFiles.toString, (2 * cpus).toString, eng, dir),
+              heapGB = 16,
+              env = Map("SPARK_GRAFT_EXTRA_CONF" ->
+                "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB=2048"))._1
+            line.foreach(l => System.err.println(s"[bench] sustained $eng $l"))
+            s""""$eng":${line.getOrElse("null")}"""
+          }
+          graft.util.Tmp.delete(dir)
+          rows.mkString(
+            s"""{"convs":$sustainedConvs,"batch_pairs":$bp,"block_cache_mb":2048,""",
+            ",", "}")
+        }).getOrElse("null")
+      }
+
     // ---- stage deterministic inputs once -------------------------------
     val sGen = session(cpus)
     val warmDir = Flagship.stage(sGen, 2000L, nFiles = fpt)
@@ -352,40 +392,6 @@ object Bench {
         line.map(l => l.patch(1, s""""sanity_ok":${exit == 0},""", 0)).getOrElse("null")
       }
 
-    // ---- sustained: one long trial per engine, all FORKED --------------
-    // Staging (global sort + window scan of 100 M+ rows) and both engine
-    // runs (~15-20 GB native state each) run in child JVMs: runs A4/B4
-    // were OOM-killed doing this work in the bench JVM on top of the
-    // session's accumulated native residue. The parent only parses JSON
-    // lines and deletes the staged dir.
-    val sustainedJson: String =
-      if (sustainedConvs <= 0) "null"
-      else {
-        val staged = forkJson("graft.tools.SustainedStage",
-          Seq(sustainedConvs.toString, nFiles.toString, cpus.toString), heapGB = 8)._1
-        val dirRe = """"dir":"([^"]+)"""".r
-        val bpRe = """"batch_pairs":(\d+)""".r
-        (for {
-          s <- staged
-          dir <- dirRe.findFirstMatchIn(s).map(_.group(1))
-          bp <- bpRe.findFirstMatchIn(s).map(_.group(1).toLong)
-        } yield {
-          val rows = Seq("fmgws", "tws").map { eng =>
-            val line = forkJson("graft.Flagship",
-              Seq(sustainedConvs.toString, cpus.toString, fpt.toString,
-                nFiles.toString, (2 * cpus).toString, eng, dir),
-              heapGB = 16,
-              env = Map("SPARK_GRAFT_EXTRA_CONF" ->
-                "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB=2048"))._1
-            line.foreach(l => System.err.println(s"[bench] sustained $eng $l"))
-            s""""$eng":${line.getOrElse("null")}"""
-          }
-          graft.util.Tmp.delete(dir)
-          rows.mkString(
-            s"""{"convs":$sustainedConvs,"batch_pairs":$bp,"block_cache_mb":2048,""",
-            ",", "}")
-        }).getOrElse("null")
-      }
 
     // ---- batch query timings (LAST, deliberately) -----------------------
     // The sweep's nine streaming rigs leave JVM-level residue (native

@@ -13,9 +13,15 @@ import java.nio.file.{Files, Path, Paths}
   */
 object Tmp {
   private val base: Path = {
-    val shm = Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-    else Paths.get(System.getProperty("java.io.tmpdir"))
+    // GRAFT_TMP_BASE overrides (e.g. the sustained-input staging child
+    // writes its ~10 GB corpus to real disk so it doesn't occupy RAM
+    // while the engine children hold 15-20 GB of RocksDB state)
+    sys.env.get("GRAFT_TMP_BASE").map(Paths.get(_)).filter(Files.isDirectory(_))
+      .getOrElse {
+        val shm = Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+        else Paths.get(System.getProperty("java.io.tmpdir"))
+      }
   }
 
   def dir(prefix: String): String =
