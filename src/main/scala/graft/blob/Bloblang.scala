@@ -927,7 +927,12 @@ object Bloblang {
       // ---- numbers
       case "floor" => math.floor(numOf(target, name)).toLong
       case "ceil" => math.ceil(numOf(target, name)).toLong
-      case "round" => math.round(numOf(target, name))
+      // Go math.Round: half away from zero (methods_numbers.go:224 —
+      // round(-2.5) = -3); scala math.round is floor(x+0.5) which gives
+      // -2 there, so spell the away-from-zero form out
+      case "round" =>
+        val v = numOf(target, name)
+        math.copySign(math.floor(math.abs(v) + 0.5), v).toLong
       case "abs" => target match {
         case l: Long => math.abs(l)
         case _ => math.abs(numOf(target, name))

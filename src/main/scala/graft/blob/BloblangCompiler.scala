@@ -30,16 +30,25 @@ import org.apache.spark.sql.types._
   *    length, contains, has_prefix/has_suffix, split, join, replace_all,
   *    re_replace_all, re_match, slice (non-negative literal bounds),
   *    string() (long/bool only — double formatting differs), abs, floor,
-  *    ceil, round (compiled as floor(x+0.5) to match the interpreter's
-  *    math.round — half-up-toward-+inf, NOT Spark round()'s
-  *    half-away-from-zero, which differs at negative .5), number() on
+  *    ceil, round (Spark round(): half away from zero, the reference's
+  *    Go math.Round rule — methods_numbers.go:224; the interpreter
+  *    matches), number() on
   *    numeric targets (identity) and on strings (cast to double; with a
   *    fallback arg the cast-null coalesces to it, mirroring the
   *    interpreter's parse-failure fallback).
   *
+  * Round-5 widening: `map_each`/`filter` over TYPED array columns compile
+  * to Catalyst `transform`/`filter` HOFs (lambda param or bare-query
+  * context capture; struct elements field-access via the element schema —
+  * the cities.blobl corpus shape), `sort()` on primitive arrays →
+  * `array_sort`, `meta key = expr` writes compile to an update of the
+  * MAP<STRING,STRING> meta column (last-write-wins, goString-exact value
+  * types only), and `timestamp_unix()` → `unix_timestamp()`.
+  *
   * Deliberate non-goals (always interpreted): error-flow (`catch`/`or`/
   * pipe — Catalyst nulls are not Bloblang errors), doc-structural ops
-  * (root =, map_each, apply), meta writes. Documented deltas inside the
+  * (root =, OBJECT map_each, apply), whole-metadata assignment
+  * (`meta = …`). Documented deltas inside the
   * subset: `&&`/`||` compile but Catalyst three-valued logic treats a
   * NULL operand as NULL where the interpreter raises; `number()` on an
   * unparseable string with NO fallback yields null where the interpreter
@@ -55,11 +64,34 @@ object BloblangCompiler {
   private case object TLongT extends BT
   private case object TDoubleT extends BT
   private case object TBoolT extends BT
-  private case object TArrStrT extends BT
-  // opaque pass-through: any Spark type copied whole (structs, arrays,
-  // maps, timestamps). Assignable, never operated on.
+  // typed array: primitive elements compute (map_each/filter/sort/join…),
+  // struct elements carry their schema so a lambda param can field-access
+  private final case class TArrT(elem: BT) extends BT
+  // struct value: field-accessible (lambda params over array<struct>),
+  // otherwise assignment-only like TAnyT
+  private final case class TStructT(st: StructType) extends BT
+  // opaque pass-through: any other Spark type copied whole (maps,
+  // timestamps, binary). Assignable, never operated on.
   private case object TAnyT extends BT
   private final case class Typed(col: Column, t: BT)
+
+  private def isPrim(t: BT): Boolean =
+    t == TStrT || t == TLongT || t == TDoubleT || t == TBoolT
+
+  /** The Spark type a compiled value materializes as — needed to build
+    * struct schemas for object literals (so downstream lambdas can
+    * field-access what a map_each constructed). TAnyT has no single
+    * type → bail.
+    */
+  private def dtOf(t: BT): DataType = t match {
+    case TStrT => StringType
+    case TLongT => LongType
+    case TDoubleT => DoubleType
+    case TBoolT => BooleanType
+    case TStructT(st) => st
+    case TArrT(e) => ArrayType(dtOf(e))
+    case TAnyT => bail()
+  }
 
   private final class Bail extends RuntimeException
   private def bail(): Nothing = throw new Bail
@@ -70,27 +102,94 @@ object BloblangCompiler {
   def tryCompile(
       program: String,
       schema: StructType,
-      env: Map[String, String] = Map.empty): Option[Vector[(String, Column)]] = {
+      env: Map[String, String] = Map.empty,
+      metaCol: String = "meta",
+      thisCol: Option[String] = None): Option[Vector[(String, Column)]] =
+    tryCompileFull(program, schema, env, metaCol, thisCol).map(_._1)
+
+  /** As tryCompile, also reporting whether the program REPLACED the whole
+    * document (`root = <expr>` — compiled to a single column named
+    * "root"): stage() must then drop the input columns, mirroring the
+    * interpreter's doc replacement.
+    *
+    * `thisCol` designates an input column as the document for top-level
+    * `this` — the columnar stand-in for programs over non-object
+    * documents (github_releases.blobl maps over a doc that IS an array);
+    * without it, `this.x` reads input column x as before.
+    */
+  def tryCompileFull(
+      program: String,
+      schema: StructType,
+      env: Map[String, String] = Map.empty,
+      metaCol: String = "meta",
+      thisCol: Option[String] = None): Option[(Vector[(String, Column)], Boolean)] = {
     try {
+      val rootCtx: Option[Typed] = thisCol.map { n =>
+        val f = schema.fields.find(_.name == n).getOrElse(bail())
+        Typed(col(s"`$n`"), fieldType(f.dataType))
+      }
       val stmts = Bloblang.parseStmts(program)
       var vars = Map.empty[String, Typed]
       val assigns = Vector.newBuilder[(Vector[String], Column)]
+      val metas = Vector.newBuilder[(String, Column)]
+      var wholeRoot: Option[Column] = None // last `root = <expr>` wins
       stmts.foreach {
-        case LetStmt(name, e, _) => vars = vars + (name -> cExpr(e, schema, vars, env))
+        case LetStmt(name, e, _) =>
+          vars = vars + (name -> cExpr(e, schema, vars, env, rootCtx))
+        case Assign(path, e, _) if path.isEmpty =>
+          wholeRoot = Some(cExpr(e, schema, vars, env, rootCtx).col)
         case Assign(path, e, _) if path.nonEmpty =>
-          assigns += path -> cExpr(e, schema, vars, env).col
+          assigns += path -> cExpr(e, schema, vars, env, rootCtx).col
+        // `meta key = <expr>`: an update of the MAP<STRING,STRING> meta
+        // column (the Spark mapping of the reference's flat Part metadata,
+        // MetaTurn.meta). Values stringify via goString — exact for
+        // strings/longs/bools; doubles format differently → bail.
+        // Whole-metadata assignment (`meta = …`) stays interpreted.
+        case MetaStmt(Some(key), e, _) =>
+          val v = cExpr(e, schema, vars, env, rootCtx)
+          val s = v.t match {
+            case TStrT => v.col
+            case TLongT | TBoolT => v.col.cast(StringType)
+            case _ => bail()
+          }
+          metas += key -> s
         case _ => bail()
       }
       val all = assigns.result()
-      if (all.isEmpty) None
-      else {
-        // nested paths build struct columns: group leaf assignments under
-        // their top-level name (first-assignment order), last write wins
-        val order = all.map(_._1.head).distinct
-        Some(order.map { top =>
+      val metaWrites = metas.result()
+      if (wholeRoot.isDefined && all.nonEmpty) bail() // doc-merge: interpreted
+      // nested paths build struct columns: group leaf assignments under
+      // their top-level name (first-assignment order), last write wins
+      val order = all.map(_._1.head).distinct
+      val rootCols = wholeRoot match {
+        case Some(rc) => Vector("root" -> rc)
+        case None => order.map { top =>
           top -> buildNode(all.collect { case (p, c) if p.head == top => (p.tail.toList, c) })
-        })
+        }
       }
+      val metaEntry: Option[(String, Column)] =
+        if (metaWrites.isEmpty) None
+        else {
+          if (order.contains(metaCol)) bail() // root.meta collides
+          val f = schema.fields.find(_.name == metaCol).getOrElse(bail())
+          f.dataType match {
+            case MapType(StringType, StringType, _) => ()
+            case _ => bail()
+          }
+          // last write per key wins, first-write order kept; existing
+          // entries under a written key are dropped BEFORE concat (the
+          // default mapKeyDedupPolicy=EXCEPTION would throw at runtime)
+          val keys = metaWrites.map(_._1).distinct
+          val lastByKey = metaWrites.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+          val emptyMap = map_from_arrays(
+            lit(Array.empty[String]), lit(Array.empty[String]))
+          val cleaned = map_filter(coalesce(col(metaCol), emptyMap),
+            (k, _) => !k.isInCollection(keys))
+          val entries = keys.flatMap(k => Seq(lit(k), lastByKey(k)))
+          Some(metaCol -> map_concat(cleaned, map(entries: _*)))
+        }
+      val result = rootCols ++ metaEntry
+      if (result.isEmpty) None else Some((result, wholeRoot.isDefined))
     } catch {
       case _: Bail => None
       case _: BloblangError => None
@@ -105,10 +204,16 @@ object BloblangCompiler {
     * partially-built root).
     */
   def stage(program: String, schema: StructType,
-      env: Map[String, String] = Map.empty): Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
-    tryCompile(program, schema, env).map { cols => df =>
+      env: Map[String, String] = Map.empty,
+      metaCol: String = "meta",
+      thisCol: Option[String] = None): Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
+    tryCompileFull(program, schema, env, metaCol, thisCol).map { case (cols, wholeRoot) => df =>
       val assigned = cols.map(_._1).toSet
-      val kept = df.schema.fieldNames.filterNot(assigned).map(col(_))
+      // whole-document replacement keeps nothing but the new root (and a
+      // written meta column); field assignment keeps unassigned inputs
+      val kept =
+        if (wholeRoot) Array.empty[Column]
+        else df.schema.fieldNames.filterNot(assigned).map(col(_))
       df.select(kept ++ cols.map { case (n, c) => c.as(n) }: _*)
     }
 
@@ -136,6 +241,11 @@ object BloblangCompiler {
     case LongType | IntegerType | ShortType | ByteType => TLongT
     case DoubleType | FloatType => TDoubleT
     case BooleanType => TBoolT
+    case st: StructType => TStructT(st)
+    case ArrayType(et, _) => fieldType(et) match {
+      case TAnyT => TAnyT // arrays of opaque things stay opaque
+      case e => TArrT(e)
+    }
     case _ => TAnyT // opaque pass-through copy
   }
 
@@ -146,35 +256,79 @@ object BloblangCompiler {
     case _ => None
   }
 
+  private def thisRooted(e: Expr): Boolean = e match {
+    case ThisRef => true
+    case FieldGet(t, _) => thisRooted(t)
+    case _ => false
+  }
+
+  /** Field access against a struct-typed value (lambda param / context). */
+  private def fieldGet(t: Typed, name: String): Typed = t.t match {
+    case TStructT(st) =>
+      val f = st.fields.find(_.name == name).getOrElse(bail())
+      Typed(t.col.getField(name), fieldType(f.dataType))
+    case _ => bail()
+  }
+
+  /** `ctx` is the rebound `this` inside a per-element method argument
+    * (map_each/filter lambda or bare query): paths resolve against the
+    * ELEMENT, not the input schema — exactly the interpreter's context
+    * capture (`applyElem`).
+    */
   private def cExpr(
       e: Expr,
       schema: StructType,
       vars: Map[String, Typed],
-      env: Map[String, String]): Typed = {
-    def c(x: Expr): Typed = cExpr(x, schema, vars, env)
+      env: Map[String, String],
+      ctx: Option[Typed] = None): Typed = {
+    def c(x: Expr): Typed = cExpr(x, schema, vars, env, ctx)
     e match {
       case Lit(s: String) => Typed(lit(s), TStrT)
       case Lit(l: Long) => Typed(lit(l), TLongT)
       case Lit(d: Double) => Typed(lit(d), TDoubleT)
       case Lit(b: Boolean) => Typed(lit(b), TBoolT)
+      // object literal → struct column, its field schema tracked so a
+      // downstream lambda can field-access what a map_each constructed
+      // (the github_releases.blobl shape)
+      case ObjLit(fields) if fields.nonEmpty =>
+        val compiled = fields.map { case (k, fe) => k -> c(fe) }
+        val st = StructType(compiled.map { case (k, v) => StructField(k, dtOf(v.t)) })
+        Typed(struct(compiled.map { case (k, v) => v.col.as(k) }: _*), TStructT(st))
+      // array literal of same-typed items (numeric widening allowed) —
+      // e.g. `["pikachu","mewtwo","magmar"].contains(this.fav)`
+      case ArrLit(items) if items.nonEmpty =>
+        val cs = items.map(c)
+        val et = joinTypes(cs.map(_.t): _*)
+        Typed(array(cs.map(_.col): _*), TArrT(et))
       case VarRef(n) => vars.getOrElse(n, bail())
       case NameRef(n) if vars.contains(n) => vars(n)
+      case ThisRef => ctx.getOrElse(bail())
       case p @ (NameRef(_) | FieldGet(_, _)) =>
         val segs = pathOf(p).getOrElse(bail())
-        if (segs.isEmpty) bail()
-        // resolve the (possibly nested) field type from the schema
-        var dt: DataType = StructType(schema.fields)
-        segs.foreach { s =>
-          dt match {
-            case st: StructType =>
-              val f = st.fields.find(_.name == s).getOrElse(bail())
-              dt = f.dataType
-            case _ => bail()
+        if (segs.isEmpty) ctx.getOrElse(bail())
+        // a bare path whose head is a bound name (lambda param) resolves
+        // against that value — `loc.name` inside `map_each(loc -> …)`;
+        // `this.x.y` must NOT (same segs, different root)
+        else if (!thisRooted(p) && vars.contains(segs.head))
+          segs.tail.foldLeft(vars(segs.head))(fieldGet)
+        else if (ctx.isDefined)
+          // inside a per-element argument, context paths read the ELEMENT
+          segs.foldLeft(ctx.get)(fieldGet)
+        else {
+          // resolve the (possibly nested) field type from the schema
+          var dt: DataType = StructType(schema.fields)
+          segs.foreach { s =>
+            dt match {
+              case st: StructType =>
+                val f = st.fields.find(_.name == s).getOrElse(bail())
+                dt = f.dataType
+              case _ => bail()
+            }
           }
+          // backtick each segment: names like `30d` would otherwise parse
+          // as something else entirely (track_benthos_downloads.yaml shape)
+          Typed(col(segs.map(s => s"`$s`").mkString(".")), fieldType(dt))
         }
-        // backtick each segment: names like `30d` would otherwise parse
-        // as something else entirely (track_benthos_downloads.yaml shape)
-        Typed(col(segs.map(s => s"`$s`").mkString(".")), fieldType(dt))
       case FuncCall("env", Vector(Lit(name: String))) =>
         Typed(env.get(name).orElse(sys.env.get(name))
           .map(lit).getOrElse(lit(null).cast(StringType)), TStrT)
@@ -227,6 +381,42 @@ object BloblangCompiler {
         Typed(built.foldRight(dflt.map(_.col).getOrElse(lit(null))) {
           case ((cond, res), acc) => when(cond, res.col).otherwise(acc)
         }, rt)
+      // per-element HOFs over typed arrays: Catalyst transform/filter are
+      // exact twins of the interpreter's map_each/filter for the typed
+      // subset (applyElem context capture → lambda variable rebinding).
+      // The element compiles per invocation with `ctx`/the param bound to
+      // the lambda variable; struct elements field-access via TStructT
+      // (the cities.blobl corpus shape: locations.filter(loc ->
+      // loc.state == "WA").map_each(loc -> loc.name)).
+      case MethodCall(tE, mname @ ("map_each" | "filter"), Vector(lamE)) =>
+        val t = c(tE)
+        t.t match {
+          case TArrT(elem) =>
+            def compileBody(x: Column): Typed = {
+              val xT = Typed(x, elem)
+              lamE match {
+                case Lambda(p2, b) =>
+                  cExpr(b, schema, vars + (p2 -> xT), env, Some(xT))
+                case q => cExpr(q, schema, vars, env, Some(xT))
+              }
+            }
+            if (mname == "map_each") {
+              var rt: BT = TAnyT
+              val out = transform(t.col, x => {
+                val b = compileBody(x); rt = b.t; b.col
+              })
+              if (rt == TAnyT) bail() // mapped elements must stay typed
+              Typed(out, TArrT(rt))
+            } else {
+              val out = filter(t.col, x => {
+                val b = compileBody(x)
+                if (b.t != TBoolT) bail()
+                b.col
+              })
+              Typed(out, t.t)
+            }
+          case _ => bail() // object map_each stays interpreted
+        }
       case MethodCall(t, name, args) => cMethod(c(t), name, args.map(c), args)
       case _ => bail()
     }
@@ -273,7 +463,9 @@ object BloblangCompiler {
   }
 
   private def cmpSafe(l: Typed, r: Typed)(f: (Column, Column) => Column): Column = {
-    if (l.t == TAnyT || r.t == TAnyT) bail() // opaque values: assignment only
+    // non-primitive values (opaque/struct/array): assignment only — deep
+    // equality semantics differ between engines, so bail
+    if (!isPrim(l.t) || !isPrim(r.t)) bail()
     if (l.t != r.t && !numPair(l.t, r.t)) bail()
     f(l.col, r.col)
   }
@@ -283,12 +475,20 @@ object BloblangCompiler {
       case ("uppercase", TStrT) => Typed(upper(t.col), TStrT)
       case ("lowercase", TStrT) => Typed(lower(t.col), TStrT)
       case ("trim", TStrT) if args.isEmpty => Typed(trim(t.col), TStrT)
+      // trim(cutset): Go strings.Trim removes leading/trailing chars IN
+      // THE SET — Spark's TRIM(BOTH trimStr FROM …) has the same
+      // character-set semantics
+      case ("trim", TStrT) =>
+        raw(0) match {
+          case Lit(cut: String) => Typed(trim(t.col, cut), TStrT)
+          case _ => bail()
+        }
       case ("length", TStrT) => Typed(length(t.col).cast(LongType), TLongT)
-      case ("length", TArrStrT) => Typed(size(t.col).cast(LongType), TLongT)
+      case ("length", TArrT(_)) => Typed(size(t.col).cast(LongType), TLongT)
       case ("contains", TStrT) =>
         if (args.length != 1 || args(0).t != TStrT) bail()
         Typed(t.col.contains(args(0).col), TBoolT)
-      case ("contains", TArrStrT) =>
+      case ("contains", TArrT(TStrT)) =>
         if (args.length != 1 || args(0).t != TStrT) bail()
         Typed(array_contains(t.col, args(0).col), TBoolT)
       case ("has_prefix", TStrT) =>
@@ -304,10 +504,17 @@ object BloblangCompiler {
         raw(0) match {
           // Go strings.Split keeps trailing empties → limit -1
           case Lit(sep: String) =>
-            Typed(split(t.col, java.util.regex.Pattern.quote(sep), -1), TArrStrT)
+            Typed(split(t.col, java.util.regex.Pattern.quote(sep), -1), TArrT(TStrT))
           case _ => bail()
         }
-      case ("join", TArrStrT) =>
+      // lexicographic / numeric ascending — Go sort.Slice on comparable
+      // scalars; array_sort is the exact twin for non-null typed elements
+      case ("sort", TArrT(e)) if args.isEmpty && isPrim(e) && e != TBoolT =>
+        Typed(array_sort(t.col), t.t)
+      // one level, exactly the interpreter's rule on array-of-array input
+      case ("flatten", TArrT(TArrT(e))) if args.isEmpty =>
+        Typed(flatten(t.col), TArrT(e))
+      case ("join", TArrT(TStrT)) =>
         raw.headOption match {
           case Some(Lit(sep: String)) => Typed(array_join(t.col, sep), TStrT)
           case None => Typed(array_join(t.col, ""), TStrT)
@@ -348,10 +555,11 @@ object BloblangCompiler {
       case ("floor", TLongT) => t
       case ("ceil", TDoubleT) => Typed(ceil(t.col), TLongT)
       case ("ceil", TLongT) => t
-      // the interpreter is scala math.round = floor(x + 0.5), half-up
-      // TOWARD +INF; Spark round() is half-away-from-zero, which differs
-      // at negative .5 (round(-2.5): -2 vs -3) — so compile the exact form
-      case ("round", TDoubleT) => Typed(floor(t.col + lit(0.5)), TLongT)
+      // reference round() is Go math.Round — HALF AWAY FROM ZERO
+      // (methods_numbers.go:224: "rounding half away from zero", so
+      // round(-2.5) = -3). Spark round() has exactly those semantics;
+      // the interpreter spells the same rule out (Bloblang "round").
+      case ("round", TDoubleT) => Typed(round(t.col).cast(LongType), TLongT)
       case ("round", TLongT) => t
       // number(): identity on numerics; strings cast to double (the
       // interpreter keeps integral strings as longs and RAISES on parse

@@ -76,7 +76,7 @@ object Awk {
       val ctx = org.apache.spark.TaskContext.get()
       if (ctx != null) pool.foreach(w =>
         ctx.addTaskCompletionListener[Unit](_ => w.close()))
-      rows.map { row =>
+      val mapped = rows.map { row =>
         val payload = row.getString(textIdx)
         if (payload == null) row
         else {
@@ -157,6 +157,23 @@ object Awk {
           }
           Row.fromSeq(vals.toIndexedSeq)
         }
+      }
+      // Without a TaskContext (e.g. the iterator driven outside a Spark
+      // task) the completion listener above never registers, and the sh
+      // worker + its tmp dir would leak for the JVM lifetime — close the
+      // pool when the iterator is exhausted instead (close() is
+      // idempotent, so double-closing with the listener is harmless).
+      pool match {
+        case Some(w) if ctx == null =>
+          new Iterator[Row] {
+            def hasNext: Boolean = {
+              val h = mapped.hasNext
+              if (!h) w.close()
+              h
+            }
+            def next(): Row = mapped.next()
+          }
+        case _ => mapped
       }
     }(enc)
   }
@@ -246,7 +263,10 @@ object Awk {
         new String(java.nio.file.Files.readAllBytes(errFile), UTF_8))
     }
 
-    def close(): Unit = {
+    @volatile private var closed = false
+
+    def close(): Unit = if (!closed) {
+      closed = true
       try toSh.close() catch { case _: Exception => () }
       p.destroy()
       graft.util.Tmp.delete(dir.toString)

@@ -108,10 +108,13 @@ object SchemaRegistry {
 
   private val mapper = new ObjectMapper()
 
-  /** A fetched schema: Avro (the default type) or protobuf — the
-    * reference dispatches the same way on the registry's schemaType
-    * (processor_schema_registry_decode.go getDecoder; the protobuf path
-    * compiles the .proto source the registry serves).
+  /** A fetched schema: Avro (the default type, the only one the pinned
+    * reference supports — processor_schema_registry_decode.go getDecoder
+    * says "Currently only Avro schemas are supported") or protobuf, an
+    * EXTENSION here following the Confluent registry contract: dispatch
+    * on the registry response's `schemaType` field, compile the .proto
+    * source the registry serves (later upstream Benthos versions grew
+    * the same capability).
     */
   private type RegSchema = Either[Avro.AType, Proto.FileSet]
 

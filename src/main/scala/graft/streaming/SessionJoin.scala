@@ -186,14 +186,29 @@ object SessionJoin {
       // continuity for stragglers), then the timeout branch evicts it
       state.setTimeoutTimestamp(wm + gapSeconds * 1000)
     else
-      state.setTimeoutTimestamp(math.max(firstOpenEnd + gapSeconds * 1000 + 1, wm + 1))
+      state.setTimeoutTimestamp(math.max(closePointMs(firstOpenEnd, gapSeconds), wm + 1))
     pairs.iterator
   }
+
+  /** The watermark value at which a session ending at `tsMs` is safely
+    * closed. Must agree with the FLOOR-SECOND merge rule segmentation
+    * uses (`sec2 - sec1 <= gap` merges): the latest mergeable turn has
+    * ts up to `(floorSec(tsMs) + gap + 1) * 1000 - 1`, so only a
+    * watermark AT or past the next millisecond guarantees any such turn
+    * is late-droppable. Closing on the raw-millisecond rule
+    * (`wm > tsMs + gap*1000`) left a 999 ms window where a non-late
+    * fractional-timestamp turn would merge in the batch oracle but open
+    * a new session in streaming (latent divergence — unreachable with
+    * TranscriptGen's whole-second timestamps, real for general inputs;
+    * pinned by SessionJoinSpec's fractional-timestamp case).
+    */
+  private[streaming] def closePointMs(tsMs: Long, gapSeconds: Long): Long =
+    (Math.floorDiv(tsMs, 1000L) + gapSeconds + 1) * 1000L
 
   /** Split a conversation's buffer into watermark-closed leading sessions
     * and the still-open tail. Session boundaries use the same
     * second-floor gap rule as `pairTurns`; a session is closed when the
-    * watermark passed (its last ts + gap) — the same predicate as the
+    * watermark reached its `closePointMs` — the same predicate as the
     * timeout slot. The third value is a lower bound on the first open
     * session's end ts (exact when segmentation ran; the buffer min ts on
     * the guarded fast path) — what the caller's timer should target.
@@ -204,7 +219,7 @@ object SessionJoin {
       buf: List[BufTurn], gapSeconds: Long, wm: Long): (List[List[BufTurn]], List[BufTurn], Long) = {
     if (buf.isEmpty) return (Nil, Nil, 0L)
     val minTs = buf.iterator.map(_.ts.getTime).min
-    if (wm <= 0 || wm <= minTs + gapSeconds * 1000) return (Nil, buf, minTs)
+    if (wm <= 0 || wm < closePointMs(minTs, gapSeconds)) return (Nil, buf, minTs)
     val sorted = buf.sortBy(t => (t.ts.getTime, t.turn_idx))
     // session-split (same rule as sessionCount), collecting segments
     val segs = scala.collection.mutable.ListBuffer.empty[List[BufTurn]]
@@ -219,7 +234,7 @@ object SessionJoin {
       prev = sec
     }
     segs += cur.toList
-    val (closed, open) = segs.toList.span(s => wm > s.last.ts.getTime + gapSeconds * 1000)
+    val (closed, open) = segs.toList.span(s => wm >= closePointMs(s.last.ts.getTime, gapSeconds))
     (closed, open.flatten, open.headOption.map(_.last.ts.getTime).getOrElse(0L))
   }
 

@@ -70,7 +70,7 @@ object SessionJoinTws {
       // fire emits nothing and re-arms with the exact close point.
       var timerBase = minTs
       var tombstone = false
-      if (wm > 0 && wm > minTs + gapSeconds * 1000) {
+      if (wm > 0 && wm >= SessionJoin.closePointMs(minTs, gapSeconds)) {
         val all = buffered.get().toList
         val (closed, open, firstOpenEnd) = SessionJoin.splitClosed(all, gapSeconds, wm)
         if (closed.nonEmpty) {
@@ -87,7 +87,7 @@ object SessionJoinTws {
       }
       val newTimer =
         if (tombstone) wm + gapSeconds * 1000
-        else math.max(timerBase + gapSeconds * 1000 + 1, wm + 1)
+        else math.max(SessionJoin.closePointMs(timerBase, gapSeconds), wm + 1)
       if (oldTimer != 0L && oldTimer != newTimer) getHandle.deleteTimer(oldTimer)
       if (oldTimer != newTimer) getHandle.registerTimer(newTimer)
       meta.update((flushedSessions, newTimer, minTs))
@@ -126,7 +126,7 @@ object SessionJoinTws {
         // in meta so new data can supersede it cleanly
         val next =
           if (open.isEmpty) wm + gapSeconds * 1000
-          else math.max(firstOpenEnd + gapSeconds * 1000 + 1, wm + 1)
+          else math.max(SessionJoin.closePointMs(firstOpenEnd, gapSeconds), wm + 1)
         val minTs = if (open.isEmpty) 0L else open.iterator.map(_.ts.getTime).min
         meta.update((flushedSessions + closed.size, next, minTs))
         getHandle.registerTimer(next)

@@ -27,6 +27,26 @@ object Tmp {
   def dir(prefix: String): String =
     Files.createTempDirectory(base, prefix).toString
 
+  /** Delete stale graft temp dirs (matching `prefixes`, last modified
+    * more than `olderThanMs` ago) from the temp base. An OOM-killed
+    * benchmark run skips its own cleanup, and its staged corpora keep
+    * occupying tmpfs RAM — round 4's killed driver run left ~11 GB in
+    * /dev/shm, a standing memory-pressure tax on whatever ran next. The
+    * bench parent sweeps at startup; the age guard keeps a sweep from
+    * touching a concurrent run's live staging.
+    */
+  def sweepStale(prefixes: Seq[String], olderThanMs: Long = 30 * 60 * 1000L,
+      baseDir: Option[String] = None): Long = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val kids = baseDir.map(new java.io.File(_)).getOrElse(base.toFile).listFiles()
+    if (kids == null) 0L
+    else kids.count { f =>
+      val stale = prefixes.exists(f.getName.startsWith) && f.lastModified() < cutoff
+      if (stale) delete(f.getPath)
+      stale
+    }.toLong
+  }
+
   /** Best-effort recursive delete — run dirs are ephemeral by contract. */
   def delete(path: String): Unit = {
     def rec(p: java.io.File): Unit = {

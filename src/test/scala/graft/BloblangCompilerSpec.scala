@@ -128,6 +128,12 @@ class BloblangCompilerSpec extends SparkTestBase {
         |root.n1 = this.n.number()
         |root.n2 = this.d.number()
         |root.n3 = this.s.number(-1)""".stripMargin)
+    // absolute pin, not just equivalence: the reference's round() is Go
+    // math.Round — HALF AWAY FROM ZERO (methods_numbers.go:224), so
+    // round(-2.5) = -3 (scala math.round would give -2)
+    val r = Bloblang.compile("root.v = this.d.round()")
+      .mapText("""{"d":-2.5}""")
+    assert(M.readTree(r.text.get).get("v").asLong === -3L)
   }
 
   test("if-without-else and match-without-default map omission to null") {
@@ -196,6 +202,128 @@ class BloblangCompilerSpec extends SparkTestBase {
     val out = BloblangCompiler.stage(brewMap, brewSchema).get(bdf)
       .select("source", "dist", "download_count", "version").head()
     assert(out.toSeq === Seq("homebrew", "brew", 123L, "all"))
+  }
+
+  test("map_each/filter/sort over typed arrays match the interpreter") {
+    assertEquivalent(
+      """root.caps = this.s.split(",").map_each(x -> x.uppercase()).join("|")
+        |root.short = this.s.split(",").filter(x -> x.length() < 3).join(",")
+        |root.bare = this.s.split(",").map_each(this.trim()).join("-")
+        |root.sorted = this.s.split(",").sort().join(",")""".stripMargin)
+  }
+
+  test("round-5 reference corpus programs compile (cities, joining_streams meta)") {
+    // verbatim from /root/reference/config/test/bloblang/cities.blobl
+    val cities =
+      """root.Cities = this.locations.
+        |                filter(loc -> loc.state == "WA").
+        |                map_each(loc -> loc.name).
+        |                sort().join(", ")""".stripMargin
+    val citySchema = new org.apache.spark.sql.types.StructType()
+      .add("locations", org.apache.spark.sql.types.ArrayType(
+        new org.apache.spark.sql.types.StructType()
+          .add("name", "string").add("state", "string")))
+    // verbatim from /root/reference/config/examples/joining_streams.yaml:57
+    val hydrated = """meta output_topic = "comments_hydrated""""
+    val metaSchema = new org.apache.spark.sql.types.StructType()
+      .add("text", "string")
+      .add("meta", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    // verbatim from /root/reference/config/test/bloblang/github_releases.blobl
+    // (also track_benthos_downloads.yaml:38-43): whole-root replacement,
+    // nested lambdas, object literal per element, filter on a constructed
+    // struct field, flatten, trim cutset, $N backrefs
+    val releases =
+      """root = this.map_each(release -> release.assets.map_each(asset -> {
+        |  "source":         "github",
+        |  "dist":           asset.name.re_replace_all("^benthos-?((lambda_)|_)[0-9\\.]+(-rc[0-9]+)?_([^\\.]+).*", "$2$4"),
+        |  "download_count": asset.download_count,
+        |  "version":        release.tag_name.trim("v"),
+        |}).filter(asset -> asset.dist != "checksums")).flatten()""".stripMargin
+    val relSchema = new org.apache.spark.sql.types.StructType()
+      .add("releases", org.apache.spark.sql.types.ArrayType(
+        new org.apache.spark.sql.types.StructType()
+          .add("tag_name", "string")
+          .add("assets", org.apache.spark.sql.types.ArrayType(
+            new org.apache.spark.sql.types.StructType()
+              .add("name", "string").add("download_count", "long")))))
+    Seq("cities" -> BloblangCompiler.tryCompile(cities, citySchema),
+      "joining_streams.hydrated" -> BloblangCompiler.tryCompile(hydrated, metaSchema),
+      "github_releases" -> BloblangCompiler.tryCompile(releases, relSchema,
+        thisCol = Some("releases")))
+      .foreach { case (n, c) => assert(c.isDefined, s"$n should compile") }
+
+    // value check for github_releases against the interpreter on a
+    // realistic doc (lambda asset → dist "lambda_linux", checksums row
+    // filtered out, version v-prefix trimmed)
+    val relDoc =
+      """[{"tag_name":"v4.11.0","assets":[
+        |{"name":"benthos_4.11.0_linux_amd64.tar.gz","download_count":100},
+        |{"name":"benthos-lambda_4.11.0_linux_amd64.zip","download_count":7},
+        |{"name":"benthos_4.11.0_checksums.txt","download_count":3}]}]""".stripMargin.replace("\n", "")
+    val interpRel = M.readTree(Bloblang.compile(releases).mapText(relDoc).text.get)
+    val rdf = spark.read.schema(new org.apache.spark.sql.types.StructType()
+        .add("releases", relSchema.fields(0).dataType))
+      .json(spark.createDataset(Seq(s"""{"releases":$relDoc}"""))(
+        org.apache.spark.sql.Encoders.STRING))
+    val outRel = BloblangCompiler.stage(releases, relSchema,
+      thisCol = Some("releases")).get(rdf)
+    assert(outRel.schema.fieldNames.toSeq === Seq("root"))
+    import org.apache.spark.sql.Row
+    val got = outRel.select(org.apache.spark.sql.functions.explode(col("root"))).collect()
+      .map { case Row(Row(src: String, dist: String, dc: Long, ver: String)) =>
+        (src, dist, dc, ver) }.toSeq
+    val want = (0 until interpRel.size()).map { i =>
+      val n = interpRel.get(i)
+      (n.get("source").asText(), n.get("dist").asText(),
+        n.get("download_count").asLong(), n.get("version").asText())
+    }
+    assert(got === want)
+    assert(got.map(_._2).toSet === Set("linux_amd64", "lambda_linux_amd64"))
+    assert(got.forall(_._4 == "4.11.0")) // trim("v") cutset applied
+
+    // value check for cities against the interpreter (the reference's own
+    // test input shape: config/test/bloblang — WA cities sorted, joined)
+    val doc =
+      """{"locations":[{"name":"Seattle","state":"WA"},{"name":"Portland","state":"OR"},
+        |{"name":"Bellevue","state":"WA"},{"name":"Olympia","state":"WA"}]}""".stripMargin.replace("\n", "")
+    val interp = M.readTree(Bloblang.compile(cities).mapText(doc).text.get)
+      .get("Cities").asText()
+    val cdf = spark.read.schema(citySchema).json(
+      spark.createDataset(Seq(doc))(org.apache.spark.sql.Encoders.STRING))
+    val compiled = BloblangCompiler.stage(cities, citySchema).get(cdf)
+      .select("Cities").head().getString(0)
+    assert(compiled === interp)
+    assert(compiled === "Bellevue, Olympia, Seattle")
+  }
+
+  test("meta writes compile to MapType-column updates matching the interpreter") {
+    val program =
+      """meta topic = "out-" + this.s
+        |meta n_plus = this.n + 1
+        |meta topic = this.s.uppercase()""".stripMargin // last write wins
+    val metaDf = df.withColumn("meta",
+      org.apache.spark.sql.functions.map(
+        lit("existing"), lit("kept"), lit("topic"), lit("overwritten")))
+    val stage = BloblangCompiler.stage(program, metaDf.schema)
+      .getOrElse(fail("meta program did not compile"))
+    val outRows = stage(metaDf).select(col("s"), col("n"), col("meta")).collect()
+    outRows.foreach { r =>
+      val m = r.getMap[String, String](2)
+      // interpreter on the same doc + meta
+      val res = Bloblang.compile(program).run(
+        s"""{"s":"${r.getString(0)}","n":${r.getLong(1)}}""".getBytes("UTF-8"),
+        meta0 = Map("existing" -> "kept", "topic" -> "overwritten"))
+      assert(res.error.isEmpty)
+      assert(m.toMap === res.meta)
+    }
+    // null meta column → writes still land
+    val nullDf = df.withColumn("meta",
+      lit(null).cast("map<string,string>"))
+    val m2 = BloblangCompiler.stage(program, nullDf.schema).get(nullDf)
+      .select("meta").head().getMap[String, String](0)
+    assert(m2.keySet === Set("topic", "n_plus"))
   }
 
   test("compiled plan is UDF-free; interpreted plan is not") {
