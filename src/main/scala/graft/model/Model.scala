@@ -32,10 +32,13 @@ final case class Turn(
   * value and the transformWithState ListState element — and round 4's
   * tws meta tuple gained a bufMinTs slot. Restoring a checkpoint written
   * before either change fails state-schema validation. Harmless here
-  * (checkpoints are per-run ephemeral), but a deployment with durable
-  * checkpoints must treat such changes as a full state rebuild (or ship
-  * a state migration), exactly like any stateful-streaming schema
-  * evolution.
+  * (checkpoints are per-run ephemeral); a deployment with durable
+  * checkpoints uses the versioned state envelope instead
+  * (streaming/StateEnvelope.scala, round 5): the state value is a
+  * binary blob with a 1-byte version tag and read-path migration shims,
+  * so the NEXT layout change is a decoder case, not a state rebuild —
+  * SessionJoinSpec resumes a v1 (pre-slim layout) checkpoint under the
+  * v2 engine exactly-once.
   */
 final case class BufTurn(
     turn_idx: Int,

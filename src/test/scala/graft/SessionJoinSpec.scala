@@ -88,6 +88,56 @@ class SessionJoinSpec extends SparkTestBase {
     assert(sortPairs(got) == expected)
   }
 
+  test("state envelope codec round-trips both versions; v1 migrates to slim") {
+    import graft.streaming.{SessionJoin, StateEnvelope}
+    import graft.model.BufTurn
+    val st = SessionJoin.ConvState(List(
+      BufTurn(0, "user", "hello", null, ts(1000)),
+      BufTurn(1, "tool", "search()", "search", ts(1010))), 3L)
+    assert(StateEnvelope.decode(StateEnvelope.encode("c9", st, 2)) == st)
+    // v1 (legacy layout, conv_id inside every row) decodes to the SAME
+    // slim state — the read-path migration
+    val v1 = StateEnvelope.encode("c9", st, 1)
+    assert(v1.length > StateEnvelope.encode("c9", st, 2).length)
+    assert(StateEnvelope.decode(v1) == st)
+    intercept[IllegalStateException] {
+      StateEnvelope.decode(Array[Byte](9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    }
+  }
+
+  test("enveloped streaming resumes across a state-schema change (v1 checkpoint -> v2 engine)") {
+    val input = (0L until 6L).flatMap(TranscriptGen.turnsFor(13L, _))
+    val expected = sortPairs(SessionJoin.pairBatch(input.toDF(), gap)
+      .as[PairedTurn].collect().toSeq)
+
+    val outDir = Files.createTempDirectory("sje-out").toString
+    val ckDir = Files.createTempDirectory("sje-ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Turn]
+    def run(writeVersion: Int, data: Seq[Turn]): Unit = {
+      if (data.nonEmpty) mem.addData(data)
+      val paired = graft.streaming.StateEnvelope.pairStreaming(
+        mem.toDS(), gap, "10 minutes", writeVersion)
+      val q = graft.streaming.Sink.exactlyOnce(paired, outDir, ckDir,
+        Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (h1, h2) = input.sortBy(_.ts.getTime).splitAt(input.size / 2)
+    // phase 1 persists LEGACY-layout (v1) state into the checkpoint
+    run(writeVersion = 1, h1)
+    // phase 2: the upgraded engine reads the v1 checkpoint through the
+    // migration shim and writes v2 — the schema change a Catalyst-encoded
+    // state value would reject at restore
+    run(writeVersion = 2, h2)
+    run(writeVersion = 2, Seq(Turn("zzz-flush", 0, "user", "flush", null,
+      new Timestamp(input.map(_.ts.getTime).max + 10 * 3600 * 1000))))
+    run(writeVersion = 2, Nil) // let the armed timeout fire
+
+    val got = graft.streaming.Sink.readCommitted(spark, outDir)
+      .drop("_batch_id", "_partition_id").as[PairedTurn].collect().toSeq
+    assert(sortPairs(got) == expected)
+  }
+
   test("generator is deterministic across parallelism") {
     val a = TranscriptGen.transcripts(spark, 20, 42L).collect().sortBy(t => (t.conv_id, t.turn_idx))
     val b = TranscriptGen.transcripts(spark.newSession(), 20, 42L)
