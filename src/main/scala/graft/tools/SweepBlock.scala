@@ -29,8 +29,16 @@ object SweepBlock {
     val sfDir = args(0)
     val cores = args(1).toInt
     val spark = BenchSession.build(cores, appName = "graft-sweep")
-    // absorb JVM/codegen warmup so the first measured query isn't penalized
-    spark.range(10000000L).selectExpr("sum(id * 2)").collect()
+    // Full UNTIMED warmup pass over every query: the forked sweep starts
+    // from a cold JVM (that's what makes it crash-isolated and
+    // round-comparable), but cold JIT/codegen taxes each query ~0.25 s —
+    // measured as a uniform +20 % on the A5 total vs the r3 warmed-JVM
+    // sweep, worst on the cheapest/first queries (q1_agg 0.48 → 2.61 s).
+    // One throwaway pass restores warmed-JVM conditions so the timed
+    // pass measures the QUERY; failures surface in the timed pass.
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try exhaust(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
     // Failures are surfaced (stderr + sentinel -1), never folded into the
     // total as if they were timings.
     val results: Seq[(String, Double)] =
